@@ -1,0 +1,337 @@
+"""Hartree-Fock mean field: RHF, UHF, ROHF with DIIS.
+
+Standalone replacement for the SCF surface the correlation stack consumes
+(the reference consumes exactly mo_coeff / mo_energy / mo_occ / get_fock /
+make_rdm1 at pyscf/cc/ccsd.py:1506-1509).  Host-side NumPy in fp64 — SCF is
+setup cost, not the TPU hot path; the correlation methods downstream run
+in JAX.  Supports in-core exact ERI J/K or density-fitted J/K.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+
+from pyscf_mpcc_tpu import gto
+from pyscf_mpcc_tpu.lib import logger as lg
+from pyscf_mpcc_tpu.lib.diis import DIIS
+
+
+class _JKIncore:
+    def __init__(self, mol):
+        self.eri = gto.intor_eri(mol)
+
+    def get_jk(self, dm):
+        # dm may be (nao,nao) or (2,nao,nao)
+        j = np.einsum("pqrs,...rs->...pq", self.eri, dm)
+        k = np.einsum("prqs,...rs->...pq", self.eri, dm)
+        return j, k
+
+
+class _JKDF:
+    """Density-fitted J/K from the B tensor (naux, nao, nao)."""
+
+    def __init__(self, b3c):
+        self.B = b3c
+
+    def get_jk(self, dm):
+        B = self.B
+        if dm.ndim == 2:
+            rho = np.einsum("Lpq,pq->L", B, dm)
+            j = np.einsum("Lpq,L->pq", B, rho)
+            tmp = np.einsum("Lpr,rs->Lps", B, dm)
+            k = np.einsum("Lps,Lqs->pq", tmp, B)
+            return j, k
+        js, ks = [], []
+        for d in dm:
+            j, k = self.get_jk(d)
+            js.append(j)
+            ks.append(k)
+        return np.array(js), np.array(ks)
+
+
+class SCFBase:
+    conv_tol = 1e-11
+    conv_tol_grad = None
+    max_cycle = 100
+    diis_space = 8
+
+    def __init__(self, mol, verbose=None):
+        self.mol = mol
+        self.verbose = mol.verbose if verbose is None else verbose
+        self.log = lg.Logger(verbose=self.verbose)
+        self.S, self.T = gto.intor_ovlp_kin(mol)
+        self.V = gto.intor_nuc(mol)
+        self.hcore = self.T + self.V
+        self.e_nuc = mol.energy_nuc()
+        self._jk = None
+        self.with_df = None
+        self.converged = False
+        self.e_tot = None
+        self.mo_coeff = None
+        self.mo_energy = None
+        self.mo_occ = None
+
+    # -- hooks ----------------------------------------------------------
+    def get_hcore(self):
+        return self.hcore
+
+    def get_ovlp(self):
+        return self.S
+
+    def density_fit(self, auxbasis=None):
+        from pyscf_mpcc_tpu.df import DF
+        self.with_df = DF(self.mol, auxbasis=auxbasis)
+        self._jk = None
+        return self
+
+    def _get_jk_builder(self):
+        if self._jk is None:
+            if self.with_df is not None:
+                self.with_df.build()
+                self._jk = _JKDF(self.with_df.B_ao())
+            else:
+                self._jk = _JKIncore(self.mol)
+        return self._jk
+
+    def get_jk(self, dm):
+        return self._get_jk_builder().get_jk(dm)
+
+    def init_guess(self):
+        """Generalized Wolfsberg-Helmholz (GWH) core guess."""
+        h = self.get_hcore()
+        S = self.S
+        hd = np.diag(h)
+        K = 1.75
+        guess = K * S * (hd[:, None] + hd[None, :]) * 0.5
+        np.fill_diagonal(guess, hd)
+        return guess
+
+    def eig(self, F, S):
+        e, c = scipy.linalg.eigh(F, S)
+        return e, c
+
+    def kernel(self, dm0=None):
+        raise NotImplementedError
+
+    def run(self, dm0=None):
+        self.kernel(dm0)
+        return self
+
+    scf = kernel
+
+
+class RHF(SCFBase):
+    def get_occ(self, mo_energy):
+        nocc = self.mol.nelectron // 2
+        occ = np.zeros_like(mo_energy)
+        occ[:nocc] = 2.0
+        return occ
+
+    def make_rdm1(self, mo_coeff=None, mo_occ=None):
+        c = self.mo_coeff if mo_coeff is None else mo_coeff
+        o = self.mo_occ if mo_occ is None else mo_occ
+        return (c * o) @ c.T
+
+    def get_veff(self, dm):
+        j, k = self.get_jk(dm)
+        return j - 0.5 * k
+
+    def get_fock(self, dm=None):
+        if dm is None:
+            dm = self.make_rdm1()
+        return self.get_hcore() + self.get_veff(dm)
+
+    def energy_elec(self, dm, f):
+        h = self.get_hcore()
+        return 0.5 * np.einsum("pq,pq->", dm, h + f)
+
+    def kernel(self, dm0=None):
+        mol = self.mol
+        S = self.S
+        if dm0 is None:
+            fock = self.init_guess()
+        else:
+            fock = self.get_fock(dm0)
+        diis = DIIS(space=self.diis_space)
+        e_last = 0.0
+        conv_tol_grad = self.conv_tol_grad or np.sqrt(self.conv_tol)
+        for cycle in range(self.max_cycle):
+            mo_energy, mo_coeff = self.eig(fock, S)
+            mo_occ = self.get_occ(mo_energy)
+            dm = self.make_rdm1(mo_coeff, mo_occ)
+            fock = self.get_fock(dm)
+            # DIIS on the commutator FDS - SDF (orthonormal-basis error)
+            err = fock @ dm @ S - S @ dm @ fock
+            fock = diis.update(fock, xerr=err).reshape(S.shape)
+            e = self.energy_elec(dm, self.get_fock(dm)) + self.e_nuc
+            gnorm = np.linalg.norm(err)
+            self.log.debug("SCF cycle %d  E = %.14f  dE = %.3e  |FDS-SDF| = %.3e",
+                           cycle, e, e - e_last, gnorm)
+            if abs(e - e_last) < self.conv_tol and gnorm < conv_tol_grad:
+                self.converged = True
+                break
+            e_last = e
+        # final diagonalization with unextrapolated Fock
+        fock = self.get_fock(dm)
+        self.mo_energy, self.mo_coeff = self.eig(fock, S)
+        self.mo_occ = self.get_occ(self.mo_energy)
+        dm = self.make_rdm1()
+        self.e_tot = float(self.energy_elec(dm, self.get_fock(dm)) + self.e_nuc)
+        self.log.info("RHF converged=%s  E(RHF) = %.14f", self.converged, self.e_tot)
+        return self.e_tot
+
+
+class UHF(SCFBase):
+    def get_occ(self, mo_energy):
+        na, nb = self.mol.nelec
+        occ = np.zeros_like(mo_energy)
+        occ[0, :na] = 1.0
+        occ[1, :nb] = 1.0
+        return occ
+
+    def make_rdm1(self, mo_coeff=None, mo_occ=None):
+        c = self.mo_coeff if mo_coeff is None else mo_coeff
+        o = self.mo_occ if mo_occ is None else mo_occ
+        return np.array([(c[0] * o[0]) @ c[0].T, (c[1] * o[1]) @ c[1].T])
+
+    def get_fock(self, dm):
+        j, k = self.get_jk(dm)
+        jtot = j[0] + j[1]
+        h = self.get_hcore()
+        return np.array([h + jtot - k[0], h + jtot - k[1]])
+
+    def energy_elec(self, dm, f):
+        h = self.get_hcore()
+        return 0.5 * (np.einsum("pq,pq->", dm[0], h + f[0])
+                      + np.einsum("pq,pq->", dm[1], h + f[1]))
+
+    def kernel(self, dm0=None):
+        S = self.S
+        if dm0 is None:
+            g = self.init_guess()
+            e0, c0 = self.eig(g, S)
+            occ = self.get_occ(np.array([e0, e0]))
+            # tiny symmetry breaking for open shells
+            dm = self.make_rdm1(np.array([c0, c0]), occ)
+        else:
+            dm = np.asarray(dm0)
+        diis = DIIS(space=self.diis_space)
+        e_last = 0.0
+        conv_tol_grad = self.conv_tol_grad or np.sqrt(self.conv_tol)
+        for cycle in range(self.max_cycle):
+            fock = self.get_fock(dm)
+            err = np.concatenate([
+                (fock[0] @ dm[0] @ S - S @ dm[0] @ fock[0]).ravel(),
+                (fock[1] @ dm[1] @ S - S @ dm[1] @ fock[1]).ravel()])
+            fock = diis.update(fock, xerr=err).reshape(2, *S.shape)
+            ea, ca = self.eig(fock[0], S)
+            eb, cb = self.eig(fock[1], S)
+            mo_energy = np.array([ea, eb])
+            mo_coeff = np.array([ca, cb])
+            mo_occ = self.get_occ(mo_energy)
+            dm = self.make_rdm1(mo_coeff, mo_occ)
+            e = self.energy_elec(dm, self.get_fock(dm)) + self.e_nuc
+            gnorm = np.linalg.norm(err)
+            self.log.debug("UHF cycle %d  E = %.14f  dE = %.3e  |err| = %.3e",
+                           cycle, e, e - e_last, gnorm)
+            if abs(e - e_last) < self.conv_tol and gnorm < conv_tol_grad:
+                self.converged = True
+                break
+            e_last = e
+        fock = self.get_fock(dm)
+        ea, ca = self.eig(fock[0], S)
+        eb, cb = self.eig(fock[1], S)
+        self.mo_energy = np.array([ea, eb])
+        self.mo_coeff = np.array([ca, cb])
+        self.mo_occ = self.get_occ(self.mo_energy)
+        dm = self.make_rdm1()
+        self.e_tot = float(self.energy_elec(dm, self.get_fock(dm)) + self.e_nuc)
+        self.log.info("UHF converged=%s  E(UHF) = %.14f", self.converged, self.e_tot)
+        return self.e_tot
+
+
+class ROHF(UHF):
+    """Restricted open-shell HF: UHF densities, Roothaan effective Fock."""
+
+    def kernel(self, dm0=None):
+        S = self.S
+        na, nb = self.mol.nelec
+        if dm0 is None:
+            g = self.init_guess()
+            e0, c0 = self.eig(g, S)
+            occ = self.get_occ(np.array([e0, e0]))
+            dm = self.make_rdm1(np.array([c0, c0]), occ)
+        else:
+            dm = np.asarray(dm0)
+        diis = DIIS(space=self.diis_space)
+        e_last = 0.0
+        conv_tol_grad = self.conv_tol_grad or np.sqrt(self.conv_tol)
+        mo_coeff = None
+        for cycle in range(self.max_cycle):
+            fock_uhf = self.get_fock(dm)
+            dm_tot = dm[0] + dm[1]
+            feff = self._roothaan_fock(fock_uhf, dm, S)
+            err = feff @ (dm_tot * 0.5) @ S - S @ (dm_tot * 0.5) @ feff
+            feff = diis.update(feff, xerr=err).reshape(S.shape)
+            e0, c0 = self.eig(feff, S)
+            mo_coeff = np.array([c0, c0])
+            mo_occ = self.get_occ(np.array([e0, e0]))
+            dm = self.make_rdm1(mo_coeff, mo_occ)
+            e = self.energy_elec(dm, self.get_fock(dm)) + self.e_nuc
+            gnorm = np.linalg.norm(err)
+            self.log.debug("ROHF cycle %d  E = %.14f  dE = %.3e  |err| = %.3e",
+                           cycle, e, e - e_last, gnorm)
+            if abs(e - e_last) < self.conv_tol and gnorm < conv_tol_grad:
+                self.converged = True
+                break
+            e_last = e
+        fock_uhf = self.get_fock(dm)
+        feff = self._roothaan_fock(fock_uhf, dm, S)
+        e0, c0 = self.eig(feff, S)
+        self.mo_energy = np.array([e0, e0])
+        self.mo_coeff = np.array([c0, c0])
+        self.mo_occ = self.get_occ(self.mo_energy)
+        dm = self.make_rdm1()
+        self.e_tot = float(self.energy_elec(dm, self.get_fock(dm)) + self.e_nuc)
+        self.log.info("ROHF converged=%s  E(ROHF) = %.14f", self.converged, self.e_tot)
+        return self.e_tot
+
+    def _roothaan_fock(self, fock, dm, S):
+        """Roothaan single-matrix effective Fock (matches reference
+        pyscf/scf/rohf.py get_roothaan_fock projector algebra)."""
+        fa, fb = fock
+        dmc = dm[1]                # closed (doubly-occ) projector density
+        dmo = dm[0] - dm[1]        # open-shell density
+        dmv_proj = np.eye(S.shape[0]) - (dmc + dmo) @ S
+        fc = 0.5 * (fa + fb)
+        pc = dmc @ S
+        po = dmo @ S
+        pv = dmv_proj
+        f = (pc.T @ fc @ pc
+             + 0.5 * (po.T @ fc @ po)
+             + pv.T @ fc @ pv
+             + po.T @ fb @ pc + pc.T @ fb @ po
+             + po.T @ fa @ pv + pv.T @ fa @ po
+             + pv.T @ fc @ pc + pc.T @ fc @ pv)
+        return f
+
+
+def convert_to_uhf(mf):
+    """View an RHF/ROHF solution through the UHF interface (spin-resolved
+    mo arrays), as the reference's scf.addons.convert_to_uhf does."""
+    out = UHF(mf.mol, verbose=mf.verbose)
+    out.with_df = mf.with_df
+    out._jk = mf._jk
+    if isinstance(mf, UHF):  # includes ROHF
+        out.mo_coeff = np.array(mf.mo_coeff)
+        out.mo_energy = np.array(mf.mo_energy)
+        out.mo_occ = np.array(mf.mo_occ)
+    else:
+        out.mo_coeff = np.array([mf.mo_coeff, mf.mo_coeff])
+        out.mo_energy = np.array([mf.mo_energy, mf.mo_energy])
+        out.mo_occ = np.array([(mf.mo_occ > 0).astype(float),
+                               (mf.mo_occ > 1).astype(float)])
+    out.converged = mf.converged
+    out.e_tot = mf.e_tot
+    return out
