@@ -1,0 +1,62 @@
+"""Textbook spin-orbital CCSD(T), NumPy reference code.
+
+Perturbative triples in the spin-orbital formulation (Raghavachari et al.,
+Chem. Phys. Lett. 157, 479 (1989)): connected and disconnected T3 built
+blockwise over occupied triples (i, j, k).  In-repo oracle for the fast
+closed-shell (T) kernels (role of pyscf/cc/gccsd_t.py + lib/cc/ccsd_t.c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def kernel(t1, t2, eris):
+    nocc = eris.nocc
+    f = eris.fock
+    eo = np.diag(f)[:nocc]
+    ev = np.diag(f)[nocc:]
+
+    oovv = eris.block("oovv")
+    ooov = eris.block("ooov")
+    ovvv = eris.block("ovvv")
+
+    # <ei||bc> appearing in the particle contraction: use vvov = <ab||ic>?
+    # We need W_ijkabc = P(i/jk) P(a/bc) [ sum_e t2_jkae <ei||bc>
+    #                                     - sum_m t2_imbc <ma||jk> ]
+    # <ei||bc> = <ie||cb> ... express via ovvv: <ei||bc> = <ie||cb>
+    # (swap both bra and ket slots: <pq||rs> = <qp||sr>)
+    # <ma||jk> = -<am||jk> = ... express via ooov: <ma||jk> = <jk||ma>^*
+    # For real integrals <pq||rs> = <rs||pq>.
+    dv = ev[:, None, None] + ev[None, :, None] + ev[None, None, :]
+
+    et = 0.0
+    for i in range(nocc):
+        for j in range(nocc):
+            for k in range(nocc):
+                d3 = (eo[i] + eo[j] + eo[k]) - dv  # (a,b,c)
+
+                def w_one(ii, jj, kk):
+                    # sum_e t2[jj,kk,a,e] <e ii || b c> - sum_m t2[ii,m,b,c] <m a || jj kk>
+                    # <e i||b c> = <i e||c b> = ovvv[i, e, c, b]
+                    # <e ii||b c> = <ii e||c b> = ovvv[ii] read with axes (e, c, b)
+                    w = np.einsum("ae,ecb->abc", t2[jj, kk], ovvv[ii])
+                    # <m a||j k> = <j k||m a> (real) = ooov[jj, kk, m, a]
+                    w -= np.einsum("mbc,ma->abc", t2[ii, :], ooov[jj, kk])
+                    return w
+
+                # P(i/jk): (ijk) - (jik) - (kji)
+                w = (w_one(i, j, k) - w_one(j, i, k) - w_one(k, j, i))
+                # now apply P(a/bc) on the abc axes: f(abc) - f(bac) - f(cba)
+                w = (w - w.transpose(1, 0, 2) - w.transpose(2, 1, 0))
+
+                def v_one(ii, jj, kk):
+                    return np.einsum("a,bc->abc", t1[ii], oovv[jj, kk])
+
+                v = (v_one(i, j, k) - v_one(j, i, k) - v_one(k, j, i))
+                v = (v - v.transpose(1, 0, 2) - v.transpose(2, 1, 0))
+
+                t3c = w / d3
+                t3d = v / d3
+                et += np.einsum("abc,abc->", t3c, (w + v)) / 36.0
+    return float(et)
