@@ -1,0 +1,97 @@
+"""MO integral containers for the CC stack.
+
+Role of the reference's ``_ChemistsERIs`` (pyscf/cc/ccsd.py:1484) re-designed
+functionally: an immutable pytree of dense chemists'-notation MO blocks that
+jitted update functions close over.  No tril packing (the MXU wants dense
+padded tiles) and no HDF5 out-of-core path: large cases use the DF variant,
+whose 3-center factors are the shardable object.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class RERIs(NamedTuple):
+    """Dense chemists' MO blocks for restricted CC.  All jnp arrays.
+
+    Naming: block[p,q,r,s] = (pq|rs) with o=occupied, v=virtual slots.
+    """
+    fock: jnp.ndarray        # (nmo, nmo) MO-basis Fock
+    mo_energy: jnp.ndarray   # (nmo,) = diag(fock) for canonical orbitals
+    oooo: jnp.ndarray        # (ij|kl)
+    ovoo: jnp.ndarray        # (ia|jk)
+    ovov: jnp.ndarray        # (ia|jb)
+    oovv: jnp.ndarray        # (ij|ab)
+    ovvo: jnp.ndarray        # (ia|bj)
+    ovvv: jnp.ndarray        # (ia|bc)
+    vvvv: Optional[jnp.ndarray]  # (ab|cd); None in DF mode
+    Lvv: Optional[jnp.ndarray] = None   # (naux, a, b) DF factor, DF mode
+    Lov: Optional[jnp.ndarray] = None   # (naux, i, a)
+    Loo: Optional[jnp.ndarray] = None   # (naux, i, j)
+
+    @property
+    def nocc(self):
+        return self.oooo.shape[0]
+
+    @property
+    def nvir(self):
+        return self.fock.shape[0] - self.oooo.shape[0]
+
+
+def make_eris_incore(eri_ao, mo_coeff, fock_ao, nocc, dtype=None):
+    """Full-ERI container (parity/testing path; reference ccsd.py:1554)."""
+    from pyscf_mpcc_tpu import ao2mo
+    mo = jnp.asarray(mo_coeff, dtype=dtype)
+    eri_ao = jnp.asarray(eri_ao, dtype=dtype)
+    mo_eri = ao2mo.full(eri_ao, mo)
+    o = slice(0, nocc)
+    v = slice(nocc, mo.shape[1])
+    fock = jnp.asarray(mo_coeff.T @ fock_ao @ mo_coeff,
+                       dtype=dtype)
+    return RERIs(
+        fock=fock,
+        mo_energy=jnp.diagonal(fock),
+        oooo=mo_eri[o, o, o, o],
+        ovoo=mo_eri[o, v, o, o],
+        ovov=mo_eri[o, v, o, v],
+        oovv=mo_eri[o, o, v, v],
+        ovvo=mo_eri[o, v, v, o],
+        ovvv=mo_eri[o, v, v, v],
+        vvvv=mo_eri[v, v, v, v],
+    )
+
+
+def make_eris_df(b_ao, mo_coeff, fock_ao, nocc, dtype=None, keep_ovvv=True):
+    """DF container: all blocks from B factors; vvvv left implicit.
+
+    Reference analog: dfccsd._make_df_eris (pyscf/cc/dfccsd.py:125) which
+    stores vvL and rebuilds (ac|bd) per block pair; here the Lvv factor is a
+    device array contracted on the fly inside the jitted update.
+    """
+    mo = np.asarray(mo_coeff)
+    co, cv = mo[:, :nocc], mo[:, nocc:]
+    B = np.asarray(b_ao)
+    Lo = np.einsum("Lpq,pi->Liq", B, co, optimize=True)
+    Loo = jnp.asarray(np.einsum("Liq,qj->Lij", Lo, co, optimize=True), dtype=dtype)
+    Lov = jnp.asarray(np.einsum("Liq,qa->Lia", Lo, cv, optimize=True), dtype=dtype)
+    Lv = np.einsum("Lpq,pa->Laq", B, cv, optimize=True)
+    Lvv = jnp.asarray(np.einsum("Laq,qb->Lab", Lv, cv, optimize=True), dtype=dtype)
+    fock = jnp.asarray(mo.T @ fock_ao @ mo, dtype=dtype)
+    ovvv = jnp.einsum("Lia,Lbc->iabc", Lov, Lvv) if keep_ovvv else None
+    return RERIs(
+        fock=fock,
+        mo_energy=jnp.diagonal(fock),
+        oooo=jnp.einsum("Lij,Lkl->ijkl", Loo, Loo),
+        ovoo=jnp.einsum("Lia,Ljk->iajk", Lov, Loo),
+        ovov=jnp.einsum("Lia,Ljb->iajb", Lov, Lov),
+        oovv=jnp.einsum("Lij,Lab->ijab", Loo, Lvv),
+        ovvo=jnp.einsum("Lia,Lbj->iabj", Lov,
+                        jnp.transpose(Lov, (0, 2, 1))),
+        ovvv=ovvv,
+        vvvv=None,
+        Lvv=Lvv, Lov=Lov, Loo=Loo,
+    )

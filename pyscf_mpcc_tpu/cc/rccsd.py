@@ -1,0 +1,250 @@
+"""Restricted (closed-shell) CCSD — the TPU production path.
+
+Spin-adapted CCSD equations of Hirata et al., J. Chem. Phys. 120, 2581
+(2004), Eqs. (35)-(45) — the same formulation as the reference's
+pyscf/cc/rccsd.py:44 + rintermediates.py, re-designed as one fused, jitted,
+pure-functional residual: amplitudes are a pytree, every contraction is a
+dense einsum XLA maps onto the MXU, and the O(nocc^2 nvir^4) particle-
+particle ladder runs either from materialized vvvv (small systems) or from
+density-fitted Lvv factors tiled with lax.map (production; the reference's
+blocked-HDF5 _add_vvvv becomes a static tiling over the virtual axis).
+
+Non-canonical (e.g. localized-orbital) Fock matrices are handled the
+reference way: the Fock diagonal lives in the denominators, off-diagonal
+blocks stay in the residual intermediates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyscf_mpcc_tpu.cc.eris import RERIs
+
+
+def init_amps(eris: RERIs):
+    """MP2 initial guess; returns (emp2, t1, t2)."""
+    nocc = eris.nocc
+    fock = eris.fock
+    fov = fock[:nocc, nocc:]
+    eo = eris.mo_energy[:nocc]
+    ev = eris.mo_energy[nocc:]
+    eia = eo[:, None] - ev[None, :]
+    d2 = eia[:, None, :, None] + eia[None, :, None, :]
+    t1 = fov / eia
+    ovov = eris.ovov
+    t2 = ovov.transpose(0, 2, 1, 3) / d2
+    emp2 = 2.0 * jnp.einsum("ijab,iajb->", t2, ovov)
+    emp2 -= jnp.einsum("ijab,ibja->", t2, ovov)
+    return emp2, t1, t2
+
+
+def energy(t1, t2, eris: RERIs):
+    nocc = eris.nocc
+    fov = eris.fock[:nocc, nocc:]
+    tau = t2 + jnp.einsum("ia,jb->ijab", t1, t1)
+    e = 2.0 * jnp.einsum("ia,ia->", fov, t1)
+    e += 2.0 * jnp.einsum("ijab,iajb->", tau, eris.ovov)
+    e -= jnp.einsum("ijab,ibja->", tau, eris.ovov)
+    return e
+
+
+def _ladder_vvvv(tau, t1, eris):
+    """tau * Wvvvv from materialized (ab|cd) (Hirata chi_vvvv)."""
+    w = eris.vvvv.transpose(0, 2, 1, 3)  # (ac|bd) -> W[a,b,c,d]
+    w = w - jnp.einsum("kdac,kb->abcd", eris.ovvv, t1)
+    w = w - jnp.einsum("kcbd,ka->abcd", eris.ovvv, t1)
+    return jnp.einsum("abcd,ijcd->ijab", w, tau)
+
+
+def _ladder_df(tau, t1, eris, ntile):
+    """tau * Wvvvv from DF factors with t1-dressed Lvv, tiled over 'a'.
+
+    Ldressed[L,a,c] = Lvv[L,a,c] - sum_k t1[k,a] Lov[L,k,c]; the spurious
+    quadratic term sum_kl t1_ka t1_lb (kc|ld) tau_ijcd is subtracted
+    explicitly.  Equivalent of the reference's dfccsd._contract_vvvv_t2
+    (pyscf/cc/dfccsd.py:54) without packed storage.
+    """
+    Lvv, Lov = eris.Lvv, eris.Lov
+    Ld = Lvv - jnp.einsum("ka,Lkc->Lac", t1, Lov)
+    naux, nvir = Ld.shape[0], Ld.shape[1]
+    ta = nvir // ntile
+    Ld_t = Ld.reshape(naux, ntile, ta, nvir).transpose(1, 0, 2, 3)
+
+    def tile_fn(ld_tile):
+        w = jnp.einsum("Lac,Lbd->abcd", ld_tile, Ld)
+        return jnp.einsum("abcd,ijcd->ijab", w, tau)
+
+    out = jax.lax.map(tile_fn, Ld_t)  # (ntile, nocc, nocc, ta, nvir)
+    nocc = tau.shape[0]
+    out = out.transpose(1, 2, 0, 3, 4).reshape(nocc, nocc, nvir, nvir)
+    # subtract the quadratic dressing artifact
+    tmp = jnp.einsum("kcld,ijcd->klij", _ovov(eris), tau)
+    out = out - jnp.einsum("klij,ka,lb->ijab", tmp, t1, t1)
+    return out
+
+
+def _ovov(eris):
+    return eris.ovov
+
+
+@partial(jax.jit, static_argnames=("ntile",))
+def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
+    """One Jacobi sweep of the RCCSD equations.  Returns (t1new, t2new)."""
+    nocc = eris.nocc
+    fock = eris.fock
+    fov = fock[:nocc, nocc:]
+    foo = fock[:nocc, :nocc]
+    fvv = fock[nocc:, nocc:]
+    mo_e_o = eris.mo_energy[:nocc]
+    mo_e_v = eris.mo_energy[nocc:] + level_shift
+
+    ovov = eris.ovov
+    ovoo = eris.ovoo
+    ovvo = eris.ovvo
+    oovv = eris.oovv
+    oooo = eris.oooo
+    ovvv = eris.ovvv
+
+    # --- kappa intermediates (Eqs. 37-39), Fock diagonal removed ---------
+    Foo = foo + 2.0 * jnp.einsum("kcld,ilcd->ki", ovov, t2) \
+        - jnp.einsum("kdlc,ilcd->ki", ovov, t2) \
+        + 2.0 * jnp.einsum("kcld,ic,ld->ki", ovov, t1, t1) \
+        - jnp.einsum("kdlc,ic,ld->ki", ovov, t1, t1)
+    Fvv = fvv - 2.0 * jnp.einsum("kcld,klad->ac", ovov, t2) \
+        + jnp.einsum("kdlc,klad->ac", ovov, t2) \
+        - 2.0 * jnp.einsum("kcld,ka,ld->ac", ovov, t1, t1) \
+        + jnp.einsum("kdlc,ka,ld->ac", ovov, t1, t1)
+    Fov = fov + 2.0 * jnp.einsum("kcld,ld->kc", ovov, t1) \
+        - jnp.einsum("kdlc,ld->kc", ovov, t1)
+
+    Foo_nd = Foo - jnp.diag(mo_e_o)
+    Fvv_nd = Fvv - jnp.diag(mo_e_v)
+
+    # --- T1 (Eq. 35) ------------------------------------------------------
+    t1new = fov.conj()
+    t1new -= 2.0 * jnp.einsum("kc,ka,ic->ia", fov, t1, t1)
+    t1new += jnp.einsum("ac,ic->ia", Fvv_nd, t1)
+    t1new -= jnp.einsum("ki,ka->ia", Foo_nd, t1)
+    t1new += 2.0 * jnp.einsum("kc,kica->ia", Fov, t2)
+    t1new -= jnp.einsum("kc,ikca->ia", Fov, t2)
+    t1new += jnp.einsum("kc,ic,ka->ia", Fov, t1, t1)
+    t1new += 2.0 * jnp.einsum("kcai,kc->ia", ovvo, t1)
+    t1new -= jnp.einsum("kiac,kc->ia", oovv, t1)
+    t1new += 2.0 * jnp.einsum("kdac,ikcd->ia", ovvv, t2)
+    t1new -= jnp.einsum("kcad,ikcd->ia", ovvv, t2)
+    t1new += 2.0 * jnp.einsum("kdac,kd,ic->ia", ovvv, t1, t1)
+    t1new -= jnp.einsum("kcad,kd,ic->ia", ovvv, t1, t1)
+    t1new -= 2.0 * jnp.einsum("lcki,klac->ia", ovoo, t2)
+    t1new += jnp.einsum("kcli,klac->ia", ovoo, t2)
+    t1new -= 2.0 * jnp.einsum("lcki,lc,ka->ia", ovoo, t1, t1)
+    t1new += jnp.einsum("kcli,lc,ka->ia", ovoo, t1, t1)
+
+    # --- lambda intermediates (Eqs. 40-41) --------------------------------
+    Loo = Foo_nd + jnp.einsum("kc,ic->ki", fov, t1) \
+        + 2.0 * jnp.einsum("lcki,lc->ki", ovoo, t1) \
+        - jnp.einsum("kcli,lc->ki", ovoo, t1)
+    Lvv = Fvv_nd - jnp.einsum("kc,ka->ac", fov, t1) \
+        + 2.0 * jnp.einsum("kdac,kd->ac", ovvv, t1) \
+        - jnp.einsum("kcad,kd->ac", ovvv, t1)
+
+    # --- chi intermediates (Eqs. 42-45) -----------------------------------
+    Woooo = oooo.transpose(0, 2, 1, 3) \
+        + jnp.einsum("lcki,jc->klij", ovoo, t1) \
+        + jnp.einsum("kclj,ic->klij", ovoo, t1) \
+        + jnp.einsum("kcld,ijcd->klij", ovov, t2) \
+        + jnp.einsum("kcld,ic,jd->klij", ovov, t1, t1)
+
+    Wvoov = ovvo.transpose(2, 0, 3, 1) \
+        + jnp.einsum("kcad,id->akic", ovvv, t1) \
+        - jnp.einsum("kcli,la->akic", ovoo, t1) \
+        - 0.5 * jnp.einsum("ldkc,ilda->akic", ovov, t2) \
+        - 0.5 * jnp.einsum("lckd,ilad->akic", ovov, t2) \
+        - jnp.einsum("ldkc,id,la->akic", ovov, t1, t1) \
+        + jnp.einsum("ldkc,ilad->akic", ovov, t2)
+
+    Wvovo = oovv.transpose(2, 0, 3, 1) \
+        + jnp.einsum("kdac,id->akci", ovvv, t1) \
+        - jnp.einsum("lcki,la->akci", ovoo, t1) \
+        - 0.5 * jnp.einsum("lckd,ilda->akci", ovov, t2) \
+        - jnp.einsum("lckd,id,la->akci", ovov, t1, t1)
+
+    # --- T2 (Eq. 36) ------------------------------------------------------
+    tau = t2 + jnp.einsum("ia,jb->ijab", t1, t1)
+
+    tmp2 = ovvv.conj().transpose(1, 3, 0, 2) \
+        - jnp.einsum("kibc,ka->abic", oovv, t1)
+    tmp = jnp.einsum("abic,jc->ijab", tmp2, t1)
+    t2new = tmp + tmp.transpose(1, 0, 3, 2)
+    tmp2 = ovoo.transpose(1, 3, 0, 2).conj() \
+        + jnp.einsum("kcai,jc->akij", ovvo, t1)
+    tmp = jnp.einsum("akij,kb->ijab", tmp2, t1)
+    t2new -= tmp + tmp.transpose(1, 0, 3, 2)
+    t2new += ovov.conj().transpose(0, 2, 1, 3)
+    t2new += jnp.einsum("klij,klab->ijab", Woooo, tau)
+
+    if eris.vvvv is not None:
+        t2new += _ladder_vvvv(tau, t1, eris)
+    else:
+        t2new += _ladder_df(tau, t1, eris, ntile)
+
+    tmp = jnp.einsum("ac,ijcb->ijab", Lvv, t2)
+    t2new += tmp + tmp.transpose(1, 0, 3, 2)
+    tmp = jnp.einsum("ki,kjab->ijab", Loo, t2)
+    t2new -= tmp + tmp.transpose(1, 0, 3, 2)
+    tmp = 2.0 * jnp.einsum("akic,kjcb->ijab", Wvoov, t2) \
+        - jnp.einsum("akci,kjcb->ijab", Wvovo, t2)
+    t2new += tmp + tmp.transpose(1, 0, 3, 2)
+    tmp = jnp.einsum("akic,kjbc->ijab", Wvoov, t2)
+    t2new -= tmp + tmp.transpose(1, 0, 3, 2)
+    tmp = jnp.einsum("bkci,kjac->ijab", Wvovo, t2)
+    t2new -= tmp + tmp.transpose(1, 0, 3, 2)
+
+    eia = mo_e_o[:, None] - mo_e_v[None, :]
+    d2 = eia[:, None, :, None] + eia[None, :, None, :]
+    return t1new / eia, t2new / d2
+
+
+def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
+           diis_space=6, level_shift=0.0, verbose=0, t1=None, t2=None,
+           ntile=1, diis_start_cycle=0):
+    """Host-driven CCSD iteration with DIIS (reference cc/ccsd.py:44).
+
+    Returns (converged, e_corr, t1, t2).
+    """
+    from pyscf_mpcc_tpu.lib.diis import DIIS
+    from pyscf_mpcc_tpu.lib import logger as lg
+    log = lg.Logger(verbose=verbose)
+    emp2, t1_0, t2_0 = init_amps(eris)
+    if t1 is None:
+        t1 = t1_0
+    if t2 is None:
+        t2 = t2_0
+    log.info("RCCSD MP2 init E_corr = %.14f", float(emp2))
+    diis = DIIS(space=diis_space)
+    nocc, nvir = t1.shape
+    e_last = float(energy(t1, t2, eris))
+    converged = False
+    for it in range(max_cycle):
+        t1new, t2new = update_amps(t1, t2, eris, level_shift, ntile=ntile)
+        normt = float(jnp.linalg.norm(t1new - t1)
+                      + jnp.linalg.norm(t2new - t2))
+        if it >= diis_start_cycle:
+            vec = np.concatenate([np.asarray(t1new).ravel(),
+                                  np.asarray(t2new).ravel()])
+            vec = diis.update(vec)
+            t1 = jnp.asarray(vec[: nocc * nvir].reshape(nocc, nvir))
+            t2 = jnp.asarray(vec[nocc * nvir:].reshape(t2new.shape))
+        else:
+            t1, t2 = t1new, t2new
+        e = float(energy(t1, t2, eris))
+        log.info("cycle %2d  E_corr(RCCSD) = %.14f  dE = %10.3e  |dt| = %9.3e",
+                 it, e, e - e_last, normt)
+        if abs(e - e_last) < conv_tol and normt < conv_tol_normt:
+            converged = True
+            break
+        e_last = e
+    return converged, e, t1, t2

@@ -512,7 +512,7 @@ def intor_2c2e(auxmol):
                         Rblk = R[t:t + nt_c, u:u + nt_c, v:v + nt_c]
                         mid[t, u, v] = np.einsum("xyzab,cxyzb->ca", Rblk, Eket,
                                                  optimize=True)
-            blk = np.einsum("atuvp,tuvcp->ac", pa.E[:, 0], mid, optimize=True)
+            blk = np.einsum("atuvp,tuvcp->ac", pa.E, mid, optimize=True)
             out[pa.k0:pa.k1, pc.k0:pc.k1] = blk
             if i != j:
                 out[pc.k0:pc.k1, pa.k0:pa.k1] = blk.T

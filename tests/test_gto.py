@@ -1,0 +1,54 @@
+import math
+
+import numpy as np
+import pytest
+
+from pyscf_mpcc_tpu import gto
+from pyscf_mpcc_tpu.gto.mole import _real_solid_harmonics, cart2sph
+
+
+def _angular_integral(m1, m2):
+    a, b, c = (x + y for x, y in zip(m1, m2))
+    if a % 2 or b % 2 or c % 2:
+        return 0.0
+    def dfact(n):
+        r = 1
+        while n > 1:
+            r *= n
+            n -= 2
+        return r
+    return 4 * math.pi * dfact(a - 1) * dfact(b - 1) * dfact(c - 1) / dfact(a + b + c + 1)
+
+
+def test_solid_harmonics_orthonormal():
+    tab = _real_solid_harmonics(6)
+    for l in range(7):
+        for m1 in range(2 * l + 1):
+            for m2 in range(2 * l + 1):
+                v = sum(c1 * c2 * _angular_integral(mo1, mo2)
+                        for mo1, c1 in tab[l][m1].items()
+                        for mo2, c2 in tab[l][m2].items())
+                expect = 4 * math.pi / (2 * l + 1) if m1 == m2 else 0.0
+                assert abs(v - expect) < 1e-10 * max(1.0, abs(expect))
+
+
+def test_overlap_normalized():
+    mol = gto.M(atom=[[8, (0, 0, 0)], [1, (0, -0.757, 0.587)],
+                      [1, (0, 0.757, 0.587)]], basis="cc-pvdz")
+    assert mol.nao == 24
+    S = gto.intor_ovlp(mol)
+    assert abs(np.diag(S) - 1).max() < 1e-12
+    assert abs(S - S.T).max() < 1e-13
+
+
+def test_energy_nuc():
+    mol = gto.M(atom=[[8, (0, 0, 0)], [1, (0, -0.757, 0.587)],
+                      [1, (0, 0.757, 0.587)]], basis="sto-3g")
+    assert abs(mol.energy_nuc() - 9.188258417746113) < 1e-10
+
+
+def test_eri_symmetry():
+    mol = gto.M(atom="H 0 0 0; H 0 0 0.74", basis="cc-pvdz")
+    eri = gto.intor_eri(mol)
+    assert abs(eri - eri.transpose(1, 0, 2, 3)).max() < 1e-12
+    assert abs(eri - eri.transpose(2, 3, 0, 1)).max() < 1e-12

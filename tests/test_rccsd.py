@@ -1,0 +1,63 @@
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from pyscf_mpcc_tpu.cc import eris as eris_mod
+from pyscf_mpcc_tpu.cc import rccsd
+from pyscf_mpcc_tpu.testutil import h2o_ccpvdz
+
+# pyscf/cc/test/test_h2o.py:53-77 pinned values
+E_MP2 = -0.2040199672883385
+E_CCSD = -0.2133432312951
+
+
+def _eris():
+    d = h2o_ccpvdz()
+    return eris_mod.make_eris_incore(d["eri_ao"], d["mo_coeff"],
+                                     d["fock_ao"], 5)
+
+
+def test_per_iteration_pinned_values():
+    er = _eris()
+    emp2, t1, t2 = rccsd.init_amps(er)
+    assert abs(float(emp2) - E_MP2) < 1e-9
+    assert abs(float(jnp.abs(t2).sum()) - 4.9556571211255909) < 1e-5
+    t1, t2 = rccsd.update_amps(t1, t2, er)
+    assert abs(float(jnp.abs(t1).sum()) - 0.0475038989126) < 1e-6
+    assert abs(float(jnp.abs(t2).sum()) - 5.4018238455030) < 1e-5
+    assert abs(float(rccsd.energy(t1, t2, er)) - -0.208967840546667) < 1e-9
+    t1, t2 = rccsd.update_amps(t1, t2, er)
+    assert abs(float(rccsd.energy(t1, t2, er)) - -0.212173678670510) < 1e-9
+
+
+def test_converged_energy():
+    er = _eris()
+    conv, e, t1, t2 = rccsd.kernel(er, conv_tol=1e-10, conv_tol_normt=1e-8,
+                                   max_cycle=100)
+    assert conv
+    assert abs(e - E_CCSD) < 1e-7
+    # t2 permutational symmetry
+    assert float(jnp.abs(t2 - t2.transpose(1, 0, 3, 2)).max()) < 1e-10
+
+
+def test_df_ladder_matches_full_ladder():
+    """Cholesky-factorize the exact ERI so the DF path must agree with the
+    materialized-vvvv path to machine precision (validates the tiled
+    lax.map ladder and the t1-dressing compensation)."""
+    d = h2o_ccpvdz()
+    nocc = 5
+    nao = d["eri_ao"].shape[0]
+    eri_mat = d["eri_ao"].reshape(nao * nao, nao * nao)
+    # exact "DF" factors via pivoted Cholesky (ERI is PSD)
+    w, v = np.linalg.eigh(eri_mat)
+    keep = w > 1e-12
+    B = (v[:, keep] * np.sqrt(w[keep])).T.reshape(-1, nao, nao)
+    er_full = eris_mod.make_eris_incore(d["eri_ao"], d["mo_coeff"],
+                                        d["fock_ao"], nocc)
+    er_df = eris_mod.make_eris_df(B, d["mo_coeff"], d["fock_ao"], nocc)
+    _, t1, t2 = rccsd.init_amps(er_full)
+    a1, a2 = rccsd.update_amps(t1, t2, er_full)
+    for ntile in (1, 19):  # nvir = 19
+        b1, b2 = rccsd.update_amps(t1, t2, er_df, ntile=ntile)
+        assert float(jnp.abs(a1 - b1).max()) < 1e-9
+        assert float(jnp.abs(a2 - b2).max()) < 1e-9
