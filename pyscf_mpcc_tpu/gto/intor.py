@@ -381,7 +381,12 @@ def _coulomb_block(pa, pb):
 
 
 def intor_eri(mol):
-    """Full (nao,nao,nao,nao) chemists'-notation ERI tensor (small systems)."""
+    """Full (nao,nao,nao,nao) chemists'-notation ERI tensor (small systems).
+
+    Dispatches to the native C++/OpenMP engine when available."""
+    from pyscf_mpcc_tpu.gto import native
+    if native.available():
+        return native.eri4c(mol)
     nao = mol.nao
     pairs = _make_pairs(mol)
     eri = np.zeros((nao, nao, nao, nao))
@@ -407,6 +412,9 @@ def _scatter_eri(eri, blk, pa, pb):
 
 def intor_3c2e(mol, auxmol):
     """(mu nu | P): 3-center 2-electron integrals, shape (nao, nao, naux)."""
+    from pyscf_mpcc_tpu.gto import native
+    if native.available():
+        return native.eri3c(mol, auxmol)
     nao, naux = mol.nao, auxmol.nao
     pairs = _make_pairs(mol)
     aux_pairs = []
@@ -483,6 +491,9 @@ def _coulomb_block_aux(pa, pc):
 
 def intor_2c2e(auxmol):
     """(P|Q) 2-center 2-electron integrals over the auxiliary basis."""
+    from pyscf_mpcc_tpu.gto import native
+    if native.available():
+        return native.eri2c(auxmol)
     naux = auxmol.nao
     slices = _shell_slices(auxmol)
     aux = [_AuxData(sh, auxmol.cart, slices[k])
