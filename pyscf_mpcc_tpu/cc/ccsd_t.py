@@ -1,0 +1,170 @@
+"""Closed-shell CCSD(T) — perturbative triples on TPU.
+
+TPU-native re-design of the reference (T) engine (pyscf/cc/ccsd_t.py:34 +
+lib/cc/ccsd_t.c:39-378): the OpenMP loop over (a,b,c) triples with per-triple
+dgemms becomes a lax.scan over *tiles* of the lower-triangular (a>=b>=c)
+virtual-triple space, where each tile evaluates the six jointly-permuted
+W contributions as two large MXU matmuls each:
+
+    w[x,y,z,i,j,k] = sum_f (ix|fy) t2[k,j,z,f] - sum_m (ix|jm) t2[k,m,z,y]
+
+with (ix|fy) reconstructed on the fly from DF factors (no O(nocc nvir^3)
+ovvv storage), the 4/1/1/-2/-2/-2 permutation combine of the energy
+functional (ccsd_t.c add_and_permute), degeneracy weights replacing the
+reference's a==b/b==c special cases, and per-tile energies accumulated in
+fp64.  All shapes static; virtuals zero-padded to a tile multiple.
+
+E(T) = 2 * sum_{a>=b>=c} weight(abc) sum_ijk W * Z / D.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _tile_triples(nvt):
+    """All (ta >= tb >= tc) tile-index triples as an (n, 3) int array."""
+    out = [(a, b, c)
+           for a in range(nvt) for b in range(a + 1) for c in range(b + 1)]
+    return np.asarray(out, dtype=np.int32)
+
+
+def kernel(t1, t2, eris, tile=8, dtype=None):
+    """E(T) from converged (t1, t2) and an RERIs container (DF or full).
+
+    Requires Lov/Lvv when ovvv is absent; ovoo/ovov/fock always.
+    """
+    nocc, nvir = t1.shape
+    if dtype is None:
+        dtype = t2.dtype
+    f = eris.fock
+    eo = eris.mo_energy[:nocc].astype(dtype)
+    ev = eris.mo_energy[nocc:].astype(dtype)
+    fvo = f[nocc:, :nocc].astype(dtype)
+
+    # pad virtuals to a tile multiple; padded ev large so denominators are
+    # finite, padded tensors zero so contributions vanish
+    nvp = ((nvir + tile - 1) // tile) * tile
+    pad = nvp - nvir
+
+    def padv(x, axes):
+        cfg = [(0, 0)] * x.ndim
+        for ax in axes:
+            cfg[ax] = (0, pad)
+        return jnp.pad(x, cfg) if pad else x
+
+    ev_p = jnp.concatenate([ev, jnp.full((pad,), 1e6, dtype)]) if pad else ev
+    t1p = padv(t1.astype(dtype), [1])
+    fvo_p = padv(fvo, [0])
+    # t2T[c, f, j, k] = t2[k, j, c, f]
+    t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
+    # vooo[a, i, j, m] = (ia|jm)
+    vooo = padv(eris.ovoo.astype(dtype).transpose(1, 0, 2, 3), [0])
+    ovov = padv(eris.ovov.astype(dtype), [1, 3])
+    if eris.Lov is not None:
+        Lov = padv(eris.Lov.astype(dtype), [2])
+        Lvv = padv(eris.Lvv.astype(dtype), [1, 2])
+        ovvv = None
+    else:
+        ovvv = padv(eris.ovvv.astype(dtype), [1, 2, 3])
+        Lov = Lvv = None
+
+    trips = jnp.asarray(_tile_triples(nvp // tile))
+
+    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+
+    o = nocc
+    T = tile
+
+    def ov_block(x0, y0):
+        """(ix|fy) for x in tile(x0), y in tile(y0) -> [x, y, i, f]."""
+        zi32 = jnp.int32(0)
+        if ovvv is not None:
+            blk = jax.lax.dynamic_slice(
+                ovvv, (zi32, x0, zi32, y0), (o, T, nvp, T))  # [i, x, f, y]
+            return blk.transpose(1, 3, 0, 2)
+        lo = jax.lax.dynamic_slice(Lov, (zi32, zi32, x0), (Lov.shape[0], o, T))
+        lv = jax.lax.dynamic_slice(Lvv, (zi32, zi32, y0), (Lvv.shape[0], nvp, T))
+        return jnp.einsum("Lix,Lfy->xyif", lo, lv,
+                          preferred_element_type=dtype)
+
+    def tile_energy(carry, abc):
+        zi32 = jnp.int32(0)
+        a0, b0, c0 = (jnp.int32(abc[0] * T), jnp.int32(abc[1] * T),
+                      jnp.int32(abc[2] * T))
+        starts = (a0, b0, c0)
+
+        t2T_s = [jax.lax.dynamic_slice(t2T, (s, zi32, zi32, zi32), (T, nvp, o, o))
+                 for s in starts]
+        vooo_s = [jax.lax.dynamic_slice(vooo, (s, zi32, zi32, zi32), (T, o, o, o))
+                  for s in starts]
+        # ov blocks for the 6 ordered (x, y) role pairs
+        ovb = {}
+        for (xi, yi) in set((p[0], p[1]) for p in perms):
+            ovb[(xi, yi)] = ov_block(starts[xi], starts[yi])
+
+        W = jnp.zeros((T, T, T, o, o, o), dtype)
+        V = jnp.zeros((T, T, T, o, o, o), dtype)
+        for p in perms:
+            xi, yi, zi = p
+            # w1[x,y,i,z,j,k] = sum_f ov[x,y,i,f] t2T[z,f,j,k]
+            w = jnp.einsum("xyif,zfjk->xyzijk", ovb[(xi, yi)], t2T_s[zi],
+                           preferred_element_type=dtype)
+            # w2[x,i,j, z,y,k] = sum_m vooo[x,i,j,m] t2T[z,y,m,k]
+            t2zy = jax.lax.dynamic_slice(
+                t2T_s[zi], (zi32, starts[yi], zi32, zi32), (T, T, o, o))
+            w -= jnp.einsum("xijm,zymk->xyzijk", vooo_s[xi], t2zy,
+                            preferred_element_type=dtype)
+            # v[x,y,z,i,j,k] = (ix|jy) t1[k,z]/2 + t2T[y,x,i,j] fvo[z,k]/2
+            ovov_xy = jax.lax.dynamic_slice(
+                ovov, (zi32, starts[xi], zi32, starts[yi]), (o, T, o, T))
+            t1z = jax.lax.dynamic_slice(t1p, (zi32, starts[zi]), (o, T))
+            fvoz = jax.lax.dynamic_slice(fvo_p, (starts[zi], zi32), (T, o))
+            t2yx = jax.lax.dynamic_slice(
+                t2T_s[yi], (zi32, starts[xi], zi32, zi32), (T, T, o, o))
+            v = 0.5 * (jnp.einsum("ixjy,kz->xyzijk", ovov_xy, t1z)
+                       + jnp.einsum("yxij,zk->xyzijk", t2yx, fvoz))
+            # joint inverse permutation back to (a,b,c)/(i,j,k) roles
+            inv = [p.index(0), p.index(1), p.index(2)]
+            axes = tuple(inv) + tuple(3 + q for q in inv)
+            W += jnp.transpose(w, axes)
+            V += jnp.transpose(v, axes)
+
+        V = V + W
+        # Z = 4V + V(jki) + V(kij) - 2V(kji) - 2V(ikj) - 2V(jik)  [ijk axes]
+        Z = (4.0 * V
+             + V.transpose(0, 1, 2, 4, 5, 3)
+             + V.transpose(0, 1, 2, 5, 3, 4)
+             - 2.0 * V.transpose(0, 1, 2, 5, 4, 3)
+             - 2.0 * V.transpose(0, 1, 2, 3, 5, 4)
+             - 2.0 * V.transpose(0, 1, 2, 4, 3, 5))
+
+        av = jax.lax.dynamic_slice(ev_p, (a0,), (T,))
+        bv = jax.lax.dynamic_slice(ev_p, (b0,), (T,))
+        cv = jax.lax.dynamic_slice(ev_p, (c0,), (T,))
+        eabc = (av[:, None, None] + bv[None, :, None] + cv[None, None, :])
+        eijk = (eo[:, None, None] + eo[None, :, None] + eo[None, None, :])
+        denom = (eijk[None, None, None] - eabc[:, :, :, None, None, None])
+
+        # degeneracy weight on global indices
+        ga = a0 + jnp.arange(T)
+        gb = b0 + jnp.arange(T)
+        gc = c0 + jnp.arange(T)
+        A = ga[:, None, None]
+        B = gb[None, :, None]
+        C = gc[None, None, :]
+        wgt = jnp.where((A > B) & (B > C), 1.0,
+                        jnp.where((A == B) & (B == C), 1.0 / 6.0,
+                                  jnp.where((A >= B) & (B >= C), 0.5, 0.0)))
+        wgt = wgt.astype(dtype)
+
+        e_tile = jnp.einsum("xyzijk,xyzijk->xyz", W, Z / denom)
+        e = jnp.sum((e_tile * wgt).astype(carry.dtype))
+        return carry + e, None
+
+    acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    e0 = jnp.zeros((), dtype=acc_dtype)
+    e_sum, _ = jax.lax.scan(tile_energy, e0, trips)
+    return 2.0 * float(e_sum)

@@ -91,6 +91,68 @@ def _ovov(eris):
     return eris.ovov
 
 
+class _OvvvOps:
+    """The ovvv-block contractions, in materialized or DF-factorized form.
+
+    At production scale the (ia|bc) block is O(nocc nvir^3) and cannot be
+    materialized (12 GB for (H2O)8/cc-pVTZ in fp32); every use factorizes
+    exactly through the 3-center L tensors (role of the reference's
+    blocked _add_ovvv_ loops, pyscf/cc/ccsd.py:337, without the I/O)."""
+
+    def __init__(self, eris: RERIs):
+        self.eris = eris
+        self.df = eris.ovvv is None
+
+    def t1_t2_terms(self, t2):
+        """2*(kd|ac) t2[ikcd] - (kc|ad) t2[ikcd] -> [ia]"""
+        e = self.eris
+        if not self.df:
+            return (2.0 * jnp.einsum("kdac,ikcd->ia", e.ovvv, t2)
+                    - jnp.einsum("kcad,ikcd->ia", e.ovvv, t2))
+        x = jnp.einsum("Lkd,ikcd->Lic", e.Lov, t2)
+        out = 2.0 * jnp.einsum("Lic,Lac->ia", x, e.Lvv)
+        y = jnp.einsum("Lkc,ikcd->Lid", e.Lov, t2)
+        out -= jnp.einsum("Lid,Lad->ia", y, e.Lvv)
+        return out
+
+    def lvv_t1(self, t1):
+        """2*(kd|ac) t1[kd] - (kc|ad) t1[kd] -> [ac]"""
+        e = self.eris
+        if not self.df:
+            return (2.0 * jnp.einsum("kdac,kd->ac", e.ovvv, t1)
+                    - jnp.einsum("kcad,kd->ac", e.ovvv, t1))
+        z = jnp.einsum("Lkd,kd->L", e.Lov, t1)
+        out = 2.0 * jnp.einsum("L,Lac->ac", z, e.Lvv)
+        x = jnp.einsum("Lkc,kd->Lcd", e.Lov, t1)
+        out -= jnp.einsum("Lcd,Lad->ac", x, e.Lvv)
+        return out
+
+    def wvoov_t1(self, t1):
+        """(kc|ad) t1[id] -> [akic]"""
+        e = self.eris
+        if not self.df:
+            return jnp.einsum("kcad,id->akic", e.ovvv, t1)
+        x = jnp.einsum("Lad,id->Lai", e.Lvv, t1)
+        return jnp.einsum("Lai,Lkc->akic", x, e.Lov)
+
+    def wvovo_t1(self, t1):
+        """(kd|ac) t1[id] -> [akci]"""
+        e = self.eris
+        if not self.df:
+            return jnp.einsum("kdac,id->akci", e.ovvv, t1)
+        x = jnp.einsum("Lkd,id->Lki", e.Lov, t1)
+        return jnp.einsum("Lki,Lac->akci", x, e.Lvv)
+
+    def t2_vvov_t1(self, t1):
+        """sum_c (ia|cb) t1[jc] -> [ijab] (the vv-ov piece of chi_vvov)"""
+        e = self.eris
+        if not self.df:
+            tmp2 = e.ovvv.conj().transpose(1, 3, 0, 2)
+            return jnp.einsum("abic,jc->ijab", tmp2, t1)
+        x = jnp.einsum("Lcb,jc->Ljb", e.Lvv, t1)
+        return jnp.einsum("Lia,Ljb->ijab", e.Lov, x)
+
+
 @partial(jax.jit, static_argnames=("ntile",))
 def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
     """One Jacobi sweep of the RCCSD equations.  Returns (t1new, t2new)."""
@@ -107,7 +169,7 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
     ovvo = eris.ovvo
     oovv = eris.oovv
     oooo = eris.oooo
-    ovvv = eris.ovvv
+    vops = _OvvvOps(eris)
 
     # --- kappa intermediates (Eqs. 37-39), Fock diagonal removed ---------
     Foo = foo + 2.0 * jnp.einsum("kcld,ilcd->ki", ovov, t2) \
@@ -134,10 +196,9 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
     t1new += jnp.einsum("kc,ic,ka->ia", Fov, t1, t1)
     t1new += 2.0 * jnp.einsum("kcai,kc->ia", ovvo, t1)
     t1new -= jnp.einsum("kiac,kc->ia", oovv, t1)
-    t1new += 2.0 * jnp.einsum("kdac,ikcd->ia", ovvv, t2)
-    t1new -= jnp.einsum("kcad,ikcd->ia", ovvv, t2)
-    t1new += 2.0 * jnp.einsum("kdac,kd,ic->ia", ovvv, t1, t1)
-    t1new -= jnp.einsum("kcad,kd,ic->ia", ovvv, t1, t1)
+    t1new += vops.t1_t2_terms(t2)
+    lvv_t1 = vops.lvv_t1(t1)
+    t1new += jnp.einsum("ac,ic->ia", lvv_t1, t1)
     t1new -= 2.0 * jnp.einsum("lcki,klac->ia", ovoo, t2)
     t1new += jnp.einsum("kcli,klac->ia", ovoo, t2)
     t1new -= 2.0 * jnp.einsum("lcki,lc,ka->ia", ovoo, t1, t1)
@@ -147,9 +208,7 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
     Loo = Foo_nd + jnp.einsum("kc,ic->ki", fov, t1) \
         + 2.0 * jnp.einsum("lcki,lc->ki", ovoo, t1) \
         - jnp.einsum("kcli,lc->ki", ovoo, t1)
-    Lvv = Fvv_nd - jnp.einsum("kc,ka->ac", fov, t1) \
-        + 2.0 * jnp.einsum("kdac,kd->ac", ovvv, t1) \
-        - jnp.einsum("kcad,kd->ac", ovvv, t1)
+    Lvv = Fvv_nd - jnp.einsum("kc,ka->ac", fov, t1) + lvv_t1
 
     # --- chi intermediates (Eqs. 42-45) -----------------------------------
     Woooo = oooo.transpose(0, 2, 1, 3) \
@@ -159,7 +218,7 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
         + jnp.einsum("kcld,ic,jd->klij", ovov, t1, t1)
 
     Wvoov = ovvo.transpose(2, 0, 3, 1) \
-        + jnp.einsum("kcad,id->akic", ovvv, t1) \
+        + vops.wvoov_t1(t1) \
         - jnp.einsum("kcli,la->akic", ovoo, t1) \
         - 0.5 * jnp.einsum("ldkc,ilda->akic", ovov, t2) \
         - 0.5 * jnp.einsum("lckd,ilad->akic", ovov, t2) \
@@ -167,7 +226,7 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
         + jnp.einsum("ldkc,ilad->akic", ovov, t2)
 
     Wvovo = oovv.transpose(2, 0, 3, 1) \
-        + jnp.einsum("kdac,id->akci", ovvv, t1) \
+        + vops.wvovo_t1(t1) \
         - jnp.einsum("lcki,la->akci", ovoo, t1) \
         - 0.5 * jnp.einsum("lckd,ilda->akci", ovov, t2) \
         - jnp.einsum("lckd,id,la->akci", ovov, t1, t1)
@@ -175,9 +234,8 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
     # --- T2 (Eq. 36) ------------------------------------------------------
     tau = t2 + jnp.einsum("ia,jb->ijab", t1, t1)
 
-    tmp2 = ovvv.conj().transpose(1, 3, 0, 2) \
-        - jnp.einsum("kibc,ka->abic", oovv, t1)
-    tmp = jnp.einsum("abic,jc->ijab", tmp2, t1)
+    tmp = vops.t2_vvov_t1(t1) \
+        - jnp.einsum("kibc,ka,jc->ijab", oovv, t1, t1)
     t2new = tmp + tmp.transpose(1, 0, 3, 2)
     tmp2 = ovoo.transpose(1, 3, 0, 2).conj() \
         + jnp.einsum("kcai,jc->akij", ovvo, t1)

@@ -1,0 +1,3 @@
+from pyscf_mpcc_tpu.parallel.mesh import (
+    make_mesh, shard_eris, shard_amps, sharded_update_amps,
+)

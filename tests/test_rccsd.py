@@ -61,3 +61,9 @@ def test_df_ladder_matches_full_ladder():
         b1, b2 = rccsd.update_amps(t1, t2, er_df, ntile=ntile)
         assert float(jnp.abs(a1 - b1).max()) < 1e-9
         assert float(jnp.abs(a2 - b2).max()) < 1e-9
+    # ovvv-free production path: every ovvv contraction factorized through L
+    er_direct = eris_mod.make_eris_df(B, d["mo_coeff"], d["fock_ao"], nocc,
+                                      keep_ovvv=False)
+    c1, c2 = rccsd.update_amps(t1, t2, er_direct, ntile=1)
+    assert float(jnp.abs(a1 - c1).max()) < 1e-9
+    assert float(jnp.abs(a2 - c2).max()) < 1e-9
