@@ -234,32 +234,31 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
     # --- T2 (Eq. 36) ------------------------------------------------------
     tau = t2 + jnp.einsum("ia,jb->ijab", t1, t1)
 
-    tmp = vops.t2_vvov_t1(t1) \
-        - jnp.einsum("kibc,ka,jc->ijab", oovv, t1, t1)
-    t2new = tmp + tmp.transpose(1, 0, 3, 2)
+    # All P(ij|ab)-symmetrized pieces accumulate into ONE asymmetric buffer
+    # K, symmetrized once at the end — this keeps the number of live
+    # t2-sized temporaries small enough for HBM at production scale.
+    # the barrier pins the accumulation order so only one t2-sized dot
+    # output is live at a time (required to fit HBM at production scale)
+    bar = jax.lax.optimization_barrier
     tmp2 = ovoo.transpose(1, 3, 0, 2).conj() \
         + jnp.einsum("kcai,jc->akij", ovvo, t1)
-    tmp = jnp.einsum("akij,kb->ijab", tmp2, t1)
-    t2new -= tmp + tmp.transpose(1, 0, 3, 2)
-    t2new += ovov.conj().transpose(0, 2, 1, 3)
-    t2new += jnp.einsum("klij,klab->ijab", Woooo, tau)
+    K = vops.t2_vvov_t1(t1)
+    K = bar(K - jnp.einsum("kibc,ka,jc->ijab", oovv, t1, t1))
+    K = bar(K - jnp.einsum("akij,kb->ijab", tmp2, t1))
+    K = bar(K + jnp.einsum("ac,ijcb->ijab", Lvv, t2))
+    K = bar(K - jnp.einsum("ki,kjab->ijab", Loo, t2))
+    K = bar(K + 2.0 * jnp.einsum("akic,kjcb->ijab", Wvoov, t2))
+    K = bar(K - jnp.einsum("akci,kjcb->ijab", Wvovo, t2))
+    K = bar(K - jnp.einsum("akic,kjbc->ijab", Wvoov, t2))
+    K = bar(K - jnp.einsum("bkci,kjac->ijab", Wvovo, t2))
 
+    t2new = K + K.transpose(1, 0, 3, 2)
+    t2new += ovov.conj().transpose(0, 2, 1, 3)
+    t2new = bar(t2new + jnp.einsum("klij,klab->ijab", Woooo, tau))
     if eris.vvvv is not None:
         t2new += _ladder_vvvv(tau, t1, eris)
     else:
         t2new += _ladder_df(tau, t1, eris, ntile)
-
-    tmp = jnp.einsum("ac,ijcb->ijab", Lvv, t2)
-    t2new += tmp + tmp.transpose(1, 0, 3, 2)
-    tmp = jnp.einsum("ki,kjab->ijab", Loo, t2)
-    t2new -= tmp + tmp.transpose(1, 0, 3, 2)
-    tmp = 2.0 * jnp.einsum("akic,kjcb->ijab", Wvoov, t2) \
-        - jnp.einsum("akci,kjcb->ijab", Wvovo, t2)
-    t2new += tmp + tmp.transpose(1, 0, 3, 2)
-    tmp = jnp.einsum("akic,kjbc->ijab", Wvoov, t2)
-    t2new -= tmp + tmp.transpose(1, 0, 3, 2)
-    tmp = jnp.einsum("bkci,kjac->ijab", Wvovo, t2)
-    t2new -= tmp + tmp.transpose(1, 0, 3, 2)
 
     eia = mo_e_o[:, None] - mo_e_v[None, :]
     d2 = eia[:, None, :, None] + eia[None, :, None, :]
