@@ -1,0 +1,114 @@
+"""Unrestricted MP-CC hybrid (UMPCCSD): the fork's flagship method.
+
+Reference: pyscf/cc/umpccsd.py:1820 (update_amps) + :2219-2235 (block
+freeze) + :2550 (kernel API).  Full UCCSD residual from cc.uccsd, then the
+blocks selected by idx_s/idx_d (per spin channel) are reset to their
+incoming bath values with static boolean masks.  act_hole/act_particle are
+(alpha, beta) index-array pairs; idx_s = (idx_s_alpha, idx_s_beta);
+idx_d = (idx_d_aa, idx_d_ab, idx_d_bb) — the alpha-beta doubles blocks use
+the mixed tuples exactly as the reference's idx_d_ab construction
+(umpccsd.py:2222).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyscf_mpcc_tpu.cc import uccsd
+from pyscf_mpcc_tpu.mpcc.masks import doubles_blocks, singles_blocks
+
+
+def frozen_masks_u(act_hole, act_particle, nocc, nvir, idx_s, idx_d):
+    """Masks (m1a, m1b, m2aa, m2ab, m2bb) for the unrestricted freeze.
+
+    nocc/nvir: (nocca, noccb)/(nvira, nvirb); act_* are (alpha, beta).
+    """
+    (aha, ahb), (apa, apb) = act_hole, act_particle
+    (na, nb), (va, vb) = nocc, nvir
+    sa = singles_blocks(aha, apa, na, va)
+    sb = singles_blocks(ahb, apb, nb, vb)
+    daa = doubles_blocks(aha, apa, na, va)
+    dbb = doubles_blocks(ahb, apb, nb, vb)
+    dab = doubles_blocks(aha, apa, na, va, ahb, apb, nb, vb)
+
+    def combine(blocks, idx, shape):
+        m = np.zeros(shape, dtype=bool)
+        for i in idx:
+            m |= blocks[i]
+        return jnp.asarray(m)
+
+    m1a = combine(sa, idx_s[0], (na, va))
+    m1b = combine(sb, idx_s[1], (nb, vb))
+    m2aa = combine(daa, idx_d[0], (na, na, va, va))
+    m2ab = combine(dab, idx_d[1], (na, nb, va, vb))
+    m2bb = combine(dbb, idx_d[2], (nb, nb, vb, vb))
+    return m1a, m1b, m2aa, m2ab, m2bb
+
+
+@jax.jit
+def update_amps_masked(t1, t2, eris, masks, level_shift=0.0):
+    m1a, m1b, m2aa, m2ab, m2bb = masks
+    (u1a, u1b), (u2aa, u2ab, u2bb) = uccsd.update_amps(
+        t1, t2, eris, level_shift)
+    u1a = jnp.where(m1a, t1[0], u1a)
+    u1b = jnp.where(m1b, t1[1], u1b)
+    u2aa = jnp.where(m2aa, t2[0], u2aa)
+    u2ab = jnp.where(m2ab, t2[1], u2ab)
+    u2bb = jnp.where(m2bb, t2[2], u2bb)
+    return (u1a, u1b), (u2aa, u2ab, u2bb)
+
+
+def kernel(eris, act_hole, act_particle, idx_s, idx_d, t1=None, t2=None,
+           max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6, diis_space=6,
+           verbose=0, level_shift=0.0):
+    """UMPCCSD iteration.  Returns (converged, e_corr, t1, t2).
+
+    idx_s/idx_d may be given per the reference API: idx_s=(list_a, list_b),
+    idx_d=(list_aa, list_ab, list_bb); passing plain lists applies them to
+    every spin channel.
+    """
+    from pyscf_mpcc_tpu.lib.diis import DIIS
+    from pyscf_mpcc_tpu.lib import logger as lg
+    log = lg.Logger(verbose=verbose)
+    na, nb = uccsd._nocc(eris)
+    va = eris.ovov.shape[1]
+    vb = eris.OVOV.shape[1]
+    if idx_s and not isinstance(idx_s[0], (list, tuple, np.ndarray)):
+        idx_s = (idx_s, idx_s)
+    if idx_d and not isinstance(idx_d[0], (list, tuple, np.ndarray)):
+        idx_d = (idx_d, idx_d, idx_d)
+    if not idx_s:
+        idx_s = ([], [])
+    if not idx_d:
+        idx_d = ([], [], [])
+    masks = frozen_masks_u(act_hole, act_particle, (na, nb), (va, vb),
+                           idx_s, idx_d)
+
+    emp2, t1_0, t2_0 = uccsd.init_amps(eris)
+    if t1 is None:
+        t1 = t1_0
+    if t2 is None:
+        t2 = t2_0
+    shapes = [x.shape for x in (*t1, *t2)]
+    diis = DIIS(space=diis_space)
+    e_last = float(uccsd.energy(t1, t2, eris))
+    log.info("UMPCCSD init E_corr = %.14f", e_last)
+    converged = False
+    e = e_last
+    for it in range(max_cycle):
+        t1new, t2new = update_amps_masked(t1, t2, eris, masks, level_shift)
+        normt = sum(float(jnp.linalg.norm(a - b))
+                    for a, b in zip((*t1new, *t2new), (*t1, *t2)))
+        vec = np.asarray(uccsd.amplitudes_to_vector(t1new, t2new))
+        vec = diis.update(vec)
+        t1, t2 = uccsd.vector_to_amplitudes(jnp.asarray(vec), shapes)
+        e = float(uccsd.energy(t1, t2, eris))
+        log.info("cycle %2d  E_corr(UMPCC) = %.14f  dE = %10.3e  |dt| = %9.3e",
+                 it, e, e - e_last, normt)
+        if abs(e - e_last) < conv_tol and normt < conv_tol_normt:
+            converged = True
+            break
+        e_last = e
+    return converged, e, t1, t2
