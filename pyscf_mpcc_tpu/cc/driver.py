@@ -1,0 +1,186 @@
+"""User-facing method objects mirroring the reference API surface.
+
+``CCSD(mf).run()`` / ``.ccsd_t()`` / ``.solve_lambda()`` / ``.make_rdm1()``
+follow the usage patterns of pyscf/cc/__init__.py:85-151 and ccsd.py
+CCSDBase, dispatching on the mean-field type (RHF -> RCCSD, UHF/ROHF ->
+UCCSD).  Frozen-core via integer ``frozen`` (lowest orbitals dropped from
+the correlation space; reference get_frozen_mask semantics for the common
+case)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pyscf_mpcc_tpu import gto
+from pyscf_mpcc_tpu.cc import ccsd_t as ccsd_t_mod
+from pyscf_mpcc_tpu.cc import eris as eris_mod
+from pyscf_mpcc_tpu.cc import lambda_ad, rccsd, uccsd
+from pyscf_mpcc_tpu.scf.hf import RHF as _RHF, UHF as _UHF
+
+
+class RCCSDDriver:
+    conv_tol = 1e-8
+    conv_tol_normt = 1e-6
+    max_cycle = 100
+    diis_space = 6
+    level_shift = 0.0
+
+    def __init__(self, mf, frozen=0, mo_coeff=None):
+        self._scf = mf
+        self.mol = mf.mol
+        self.frozen = int(frozen or 0)
+        self.mo_coeff = np.asarray(mf.mo_coeff if mo_coeff is None
+                                   else mo_coeff)
+        self.nocc = self.mol.nelectron // 2 - self.frozen
+        self.nmo = self.mo_coeff.shape[1] - self.frozen
+        self.e_corr = None
+        self.t1 = self.t2 = None
+        self.l1 = self.l2 = None
+        self.converged = False
+        self.eris = None
+        self._eri_ao = None
+
+    # -- integral handling -------------------------------------------------
+    def ao2mo(self, mo_coeff=None):
+        mo = self.mo_coeff if mo_coeff is None else np.asarray(mo_coeff)
+        mo = mo[:, self.frozen:]
+        dm = self._scf.make_rdm1()
+        fock_ao = self._scf.get_fock(dm)
+        if getattr(self._scf, "with_df", None) is not None:
+            b = self._scf.with_df.B_ao()
+            self.eris = eris_mod.make_eris_df(b, mo, fock_ao, self.nocc)
+        else:
+            if self._eri_ao is None:
+                self._eri_ao = gto.intor_eri(self.mol)
+            self.eris = eris_mod.make_eris_incore(
+                self._eri_ao, mo, fock_ao, self.nocc)
+        return self.eris
+
+    # -- solvers -----------------------------------------------------------
+    def kernel(self, t1=None, t2=None, eris=None):
+        if eris is None:
+            eris = self.eris or self.ao2mo()
+        self.converged, self.e_corr, self.t1, self.t2 = rccsd.kernel(
+            eris, max_cycle=self.max_cycle, conv_tol=self.conv_tol,
+            conv_tol_normt=self.conv_tol_normt, diis_space=self.diis_space,
+            level_shift=self.level_shift, t1=t1, t2=t2)
+        return self.e_corr, self.t1, self.t2
+
+    ccsd = kernel
+
+    def run(self, **kwargs):
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+        self.kernel()
+        return self
+
+    @property
+    def e_tot(self):
+        return self._scf.e_tot + self.e_corr
+
+    @property
+    def emp2(self):
+        eris = self.eris or self.ao2mo()
+        return float(rccsd.init_amps(eris)[0])
+
+    def ccsd_t(self, t1=None, t2=None, eris=None, tile=8):
+        if eris is None:
+            eris = self.eris or self.ao2mo()
+        return ccsd_t_mod.kernel(t1 if t1 is not None else self.t1,
+                                 t2 if t2 is not None else self.t2,
+                                 eris, tile=tile)
+
+    def solve_lambda(self, t1=None, t2=None, eris=None):
+        if eris is None:
+            eris = self.eris or self.ao2mo()
+        conv, self.l1, self.l2 = lambda_ad.kernel(
+            t1 if t1 is not None else self.t1,
+            t2 if t2 is not None else self.t2, eris,
+            conv_tol=self.conv_tol_normt, max_cycle=self.max_cycle)
+        return self.l1, self.l2
+
+    def make_rdm12(self):
+        if self.l1 is None:
+            self.solve_lambda()
+        mo = self.mo_coeff[:, self.frozen:]
+        from pyscf_mpcc_tpu import ao2mo as _ao2mo
+        if self._eri_ao is None:
+            self._eri_ao = gto.intor_eri(self.mol)
+        h_mo = jnp.asarray(mo.T @ self._scf.get_hcore() @ mo)
+        eri_mo = _ao2mo.full(jnp.asarray(self._eri_ao), jnp.asarray(mo))
+        return lambda_ad.make_rdm12(h_mo, eri_mo, self.t1, self.t2,
+                                    self.l1, self.l2, self.nocc)
+
+    def make_rdm1(self):
+        return self.make_rdm12()[0]
+
+    def make_rdm2(self):
+        return self.make_rdm12()[1]
+
+
+class UCCSDDriver:
+    conv_tol = 1e-8
+    conv_tol_normt = 1e-6
+    max_cycle = 100
+    diis_space = 6
+    level_shift = 0.0
+
+    def __init__(self, mf, frozen=0, mo_coeff=None):
+        self._scf = mf
+        self.mol = mf.mol
+        self.frozen = int(frozen or 0)
+        mo = np.asarray(mf.mo_coeff if mo_coeff is None else mo_coeff)
+        if mo.ndim == 2:
+            mo = np.array([mo, mo])
+        self.mo_coeff = mo
+        na, nb = self.mol.nelec
+        self.nocc = (na - self.frozen, nb - self.frozen)
+        self.e_corr = None
+        self.t1 = self.t2 = None
+        self.converged = False
+        self.eris = None
+
+    def ao2mo(self, mo_coeff=None):
+        mo = self.mo_coeff if mo_coeff is None else np.asarray(mo_coeff)
+        eri_ao = gto.intor_eri(self.mol)
+        dm = self._scf.make_rdm1()
+        if np.asarray(dm).ndim == 2:  # RHF source
+            fock = self._scf.get_fock(dm)
+            fa = fb = fock
+        else:
+            j, k = self._scf.get_jk(dm)
+            h = self._scf.get_hcore()
+            fa = h + j[0] + j[1] - k[0]
+            fb = h + j[0] + j[1] - k[1]
+        f = self.frozen
+        self.eris = uccsd.make_eris_incore(
+            eri_ao, mo[0][:, f:], mo[1][:, f:], fa, fb,
+            self.nocc[0], self.nocc[1])
+        return self.eris
+
+    def kernel(self, t1=None, t2=None, eris=None):
+        if eris is None:
+            eris = self.eris or self.ao2mo()
+        self.converged, self.e_corr, self.t1, self.t2 = uccsd.kernel(
+            eris, max_cycle=self.max_cycle, conv_tol=self.conv_tol,
+            conv_tol_normt=self.conv_tol_normt, diis_space=self.diis_space,
+            level_shift=self.level_shift, t1=t1, t2=t2)
+        return self.e_corr, self.t1, self.t2
+
+    def run(self, **kwargs):
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+        self.kernel()
+        return self
+
+    @property
+    def e_tot(self):
+        return self._scf.e_tot + self.e_corr
+
+
+def CCSD(mf, frozen=0, mo_coeff=None):
+    """Factory mirroring the reference's cc.CCSD dispatch."""
+    if isinstance(mf, _UHF) or np.asarray(mf.mo_coeff).ndim == 3:
+        return UCCSDDriver(mf, frozen, mo_coeff)
+    return RCCSDDriver(mf, frozen, mo_coeff)

@@ -1,0 +1,48 @@
+"""Facade API tests, including the reference's frozen-core pinned value."""
+
+import numpy as np
+
+from pyscf_mpcc_tpu.cc import CCSD
+from pyscf_mpcc_tpu.scf import RHF
+from pyscf_mpcc_tpu.testutil import h2o_ccpvdz, mol_of
+
+# pyscf/cc/test/test_h2o.py:79-84
+E_CCSD_FROZEN1 = -0.21124878189922872
+E_CCSD = -0.2133432312951
+
+
+def _mf():
+    d = h2o_ccpvdz()
+    mol = mol_of()
+    mf = RHF(mol)
+    mf.mo_coeff = d["mo_coeff"]
+    mf.mo_energy = d["mo_energy"]
+    mf.mo_occ = d["mo_occ"]
+    mf.converged = True
+    mf.e_tot = float(d["e_tot"])
+    mf._jk = None
+    # reuse the cached AO eri for speed
+    return mol, mf, d
+
+
+def test_ccsd_facade():
+    mol, mf, d = _mf()
+    cc = CCSD(mf)
+    cc._eri_ao = d["eri_ao"]
+    cc.conv_tol = 1e-10
+    cc.conv_tol_normt = 1e-8
+    e, t1, t2 = cc.kernel()
+    assert cc.converged
+    assert abs(e - E_CCSD) < 1e-7
+    assert abs(cc.e_tot - (float(d["e_tot"]) + e)) < 1e-12
+
+
+def test_ccsd_frozen_core_pinned():
+    mol, mf, d = _mf()
+    cc = CCSD(mf, frozen=1)
+    cc._eri_ao = d["eri_ao"]
+    cc.conv_tol = 1e-10
+    cc.conv_tol_normt = 1e-8
+    e, t1, t2 = cc.kernel()
+    assert cc.converged
+    assert abs(e - E_CCSD_FROZEN1) < 1e-7
