@@ -37,7 +37,8 @@ _ALIASES = {
 
 
 def _norm_name(name: str) -> str:
-    return re.sub(r"[-_ ]", "", name.lower())
+    # '*' is conventionally spelled 's' in Pople basis file names
+    return re.sub(r"[-_ ]", "", name.lower()).replace("*", "s")
 
 
 def library_dirs():
@@ -54,11 +55,12 @@ def _file_index():
     """Map normalized basis-set name -> file path, scanning the library dirs."""
     index = {}
     for d in library_dirs():
-        for fn in sorted(os.listdir(d)):
-            if not fn.endswith(".dat"):
-                continue
-            key = _norm_name(fn[:-4])
-            index.setdefault(key, os.path.join(d, fn))
+        for root, _dirs, files in os.walk(d):
+            for fn in sorted(files):
+                if not fn.endswith(".dat"):
+                    continue
+                key = _norm_name(fn[:-4])
+                index.setdefault(key, os.path.join(root, fn))
     return index
 
 
