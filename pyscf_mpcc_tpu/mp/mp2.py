@@ -110,3 +110,44 @@ def iterative_kernel(ovov, foo, fvv, max_cycle=100, conv_tol=1e-9,
             break
         e_last = e
     return e, t2, converged
+
+
+def make_rdm1_vv(t2):
+    """Virtual-virtual block of the unrelaxed MP2 density (FNO metric).
+
+    P_ab = 2 sum_ijc t2[ijac] (2 t2[ijbc] - t2[ijcb]); validated against the
+    spin-orbital density in tests.  Reference analog: mp/mp2.py make_fno
+    (:239) intermediates."""
+    theta = 2.0 * t2 - t2.transpose(0, 1, 3, 2)
+    return 2.0 * jnp.einsum("ijac,ijbc->ab", t2, theta)
+
+
+def make_rdm1(t2, nocc):
+    """Unrelaxed MP2 one-particle density (MO basis), HF part included."""
+    nvir = t2.shape[2]
+    theta = 2.0 * t2 - t2.transpose(0, 1, 3, 2)
+    doo = -2.0 * jnp.einsum("ikab,jkab->ij", t2, theta)
+    dvv = 2.0 * jnp.einsum("ijac,ijbc->ab", t2, theta)
+    dm = jnp.zeros((nocc + nvir, nocc + nvir), dtype=t2.dtype)
+    dm = dm.at[:nocc, :nocc].set(2.0 * jnp.eye(nocc) + doo)
+    dm = dm.at[nocc:, nocc:].set(dvv)
+    return dm
+
+
+def make_fno(t2, mo_energy, mo_coeff, nocc, thresh=1e-6, nvir_act=None):
+    """Frozen-natural-orbital builder (reference mp/mp2.py:239).
+
+    Diagonalizes the MP2 vv-density; returns (no_coeff, n_keep) where
+    no_coeff has virtuals rotated to natural orbitals ordered by occupation
+    (kept block first)."""
+    dvv = np.asarray(make_rdm1_vv(t2))
+    w, v = np.linalg.eigh(dvv)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    if nvir_act is None:
+        n_keep = int((w > thresh).sum())
+    else:
+        n_keep = int(nvir_act)
+    mo = np.asarray(mo_coeff).copy()
+    mo[:, nocc:] = mo[:, nocc:] @ v
+    return mo, n_keep, w
