@@ -58,11 +58,17 @@ def kernel(t1, t2, eris, tile=8, dtype=None):
     ev_p = jnp.concatenate([ev, jnp.full((pad,), 1e6, dtype)]) if pad else ev
     t1p = padv(t1.astype(dtype), [1])
     fvo_p = padv(fvo, [0])
-    # t2T[c, f, j, k] = t2[k, j, c, f]
+    # TPU layout note: a trailing axis of size nocc (~32) pads 4x to the
+    # 128-lane tile, so all persistent tensors keep a fused occupied-pair
+    # axis (nocc^2 >= 128) or the virtual axis last.
+    # t2T[c, f, (j,k)] = t2[k, j, c, f]
     t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
-    # vooo[a, i, j, m] = (ia|jm)
+    t2T = t2T.reshape(t2T.shape[0], t2T.shape[1], nocc * nocc)
+    # vooo[a, i, (j,m)] = (ia|jm)
     vooo = padv(eris.ovoo.astype(dtype).transpose(1, 0, 2, 3), [0])
-    ovov = padv(eris.ovov.astype(dtype), [1, 3])
+    vooo = vooo.reshape(vooo.shape[0], nocc, nocc * nocc)
+    # oovv[i, j, x, y] = (ix|jy): tile slices address the two minor axes
+    oovv_r = padv(eris.ovov.astype(dtype).transpose(0, 2, 1, 3), [2, 3])
     if eris.Lov is not None:
         Lov = padv(eris.Lov.astype(dtype), [2])
         Lvv = padv(eris.Lvv.astype(dtype), [1, 2])
@@ -90,15 +96,17 @@ def kernel(t1, t2, eris, tile=8, dtype=None):
         return jnp.einsum("Lix,Lfy->xyif", lo, lv,
                           preferred_element_type=dtype)
 
+    oo = o * o
+
     def tile_energy(carry, abc):
         zi32 = jnp.int32(0)
         a0, b0, c0 = (jnp.int32(abc[0] * T), jnp.int32(abc[1] * T),
                       jnp.int32(abc[2] * T))
         starts = (a0, b0, c0)
 
-        t2T_s = [jax.lax.dynamic_slice(t2T, (s, zi32, zi32, zi32), (T, nvp, o, o))
+        t2T_s = [jax.lax.dynamic_slice(t2T, (s, zi32, zi32), (T, nvp, oo))
                  for s in starts]
-        vooo_s = [jax.lax.dynamic_slice(vooo, (s, zi32, zi32, zi32), (T, o, o, o))
+        vooo_s = [jax.lax.dynamic_slice(vooo, (s, zi32, zi32), (T, o, oo))
                   for s in starts]
         # ov blocks for the 6 ordered (x, y) role pairs
         ovb = {}
@@ -109,22 +117,28 @@ def kernel(t1, t2, eris, tile=8, dtype=None):
         V = jnp.zeros((T, T, T, o, o, o), dtype)
         for p in perms:
             xi, yi, zi = p
-            # w1[x,y,i,z,j,k] = sum_f ov[x,y,i,f] t2T[z,f,j,k]
-            w = jnp.einsum("xyif,zfjk->xyzijk", ovb[(xi, yi)], t2T_s[zi],
+            # w1[x,y,z,i,(j,k)] = sum_f ov[x,y,i,f] t2T[z,f,(j,k)]
+            w = jnp.einsum("xyif,zfm->xyzim", ovb[(xi, yi)], t2T_s[zi],
                            preferred_element_type=dtype)
-            # w2[x,i,j, z,y,k] = sum_m vooo[x,i,j,m] t2T[z,y,m,k]
+            w = w.reshape(T, T, T, o, o, o)
+            # w2[x,y,z,i,j,k] = sum_m vooo[x,i,(j,m)] t2[k,m,z,y];
+            # t2[k,m,z,y] = t2T[z,y,(m,k)] (t2T pair axis is (j',k')=(m,k))
             t2zy = jax.lax.dynamic_slice(
-                t2T_s[zi], (zi32, starts[yi], zi32, zi32), (T, T, o, o))
-            w -= jnp.einsum("xijm,zymk->xyzijk", vooo_s[xi], t2zy,
+                t2T_s[zi], (zi32, starts[yi], zi32), (T, T, oo)
+            ).reshape(T, T, o, o)
+            w -= jnp.einsum("xijm,zymk->xyzijk",
+                            vooo_s[xi].reshape(T, o, o, o), t2zy,
                             preferred_element_type=dtype)
             # v[x,y,z,i,j,k] = (ix|jy) t1[k,z]/2 + t2T[y,x,i,j] fvo[z,k]/2
-            ovov_xy = jax.lax.dynamic_slice(
-                ovov, (zi32, starts[xi], zi32, starts[yi]), (o, T, o, T))
+            oovv_xy = jax.lax.dynamic_slice(
+                oovv_r, (zi32, zi32, starts[xi], starts[yi]), (o, o, T, T))
             t1z = jax.lax.dynamic_slice(t1p, (zi32, starts[zi]), (o, T))
             fvoz = jax.lax.dynamic_slice(fvo_p, (starts[zi], zi32), (T, o))
+            # t2T[y,x,(i,j)] = t2[j,i,y,x]; want v2[...,i,j] = t2[j,i,y,x]
             t2yx = jax.lax.dynamic_slice(
-                t2T_s[yi], (zi32, starts[xi], zi32, zi32), (T, T, o, o))
-            v = 0.5 * (jnp.einsum("ixjy,kz->xyzijk", ovov_xy, t1z)
+                t2T_s[yi], (zi32, starts[xi], zi32), (T, T, oo)
+            ).reshape(T, T, o, o)
+            v = 0.5 * (jnp.einsum("ijxy,kz->xyzijk", oovv_xy, t1z)
                        + jnp.einsum("yxij,zk->xyzijk", t2yx, fvoz))
             # joint inverse permutation back to (a,b,c)/(i,j,k) roles
             inv = [p.index(0), p.index(1), p.index(2)]

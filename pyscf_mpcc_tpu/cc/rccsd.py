@@ -153,9 +153,14 @@ class _OvvvOps:
         return jnp.einsum("Lia,Ljb->ijab", e.Lov, x)
 
 
-@partial(jax.jit, static_argnames=("ntile",))
-def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
-    """One Jacobi sweep of the RCCSD equations.  Returns (t1new, t2new)."""
+@partial(jax.jit, static_argnames=("ntile", "variant"))
+def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1,
+                variant="ccsd"):
+    """One Jacobi sweep of the RCCSD / CC2 / CCD equations.
+
+    variant: 'ccsd' (default), 'cc2' (T2 truncated to first order in the
+    fluctuation potential with t1-dressing, reference rccsd.py cc2 branch),
+    'ccd' (t1 pinned at zero, reference cc/ccd.py)."""
     nocc = eris.nocc
     fock = eris.fock
     fov = fock[:nocc, nocc:]
@@ -205,17 +210,23 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
     t1new += jnp.einsum("kcli,lc,ka->ia", ovoo, t1, t1)
 
     # --- lambda intermediates (Eqs. 40-41) --------------------------------
-    Loo = Foo_nd + jnp.einsum("kc,ic->ki", fov, t1) \
-        + 2.0 * jnp.einsum("lcki,lc->ki", ovoo, t1) \
-        - jnp.einsum("kcli,lc->ki", ovoo, t1)
-    Lvv = Fvv_nd - jnp.einsum("kc,ka->ac", fov, t1) + lvv_t1
+    if variant == "cc2":
+        # CC2: doubles see only the Fock operator (t1-dressed)
+        Loo = foo - jnp.diag(mo_e_o) + jnp.einsum("kc,ic->ki", fov, t1)
+        Lvv = fvv - jnp.diag(mo_e_v) - jnp.einsum("kc,ka->ac", fov, t1)
+    else:
+        Loo = Foo_nd + jnp.einsum("kc,ic->ki", fov, t1) \
+            + 2.0 * jnp.einsum("lcki,lc->ki", ovoo, t1) \
+            - jnp.einsum("kcli,lc->ki", ovoo, t1)
+        Lvv = Fvv_nd - jnp.einsum("kc,ka->ac", fov, t1) + lvv_t1
 
     # --- chi intermediates (Eqs. 42-45) -----------------------------------
     Woooo = oooo.transpose(0, 2, 1, 3) \
         + jnp.einsum("lcki,jc->klij", ovoo, t1) \
         + jnp.einsum("kclj,ic->klij", ovoo, t1) \
-        + jnp.einsum("kcld,ijcd->klij", ovov, t2) \
         + jnp.einsum("kcld,ic,jd->klij", ovov, t1, t1)
+    if variant != "cc2":
+        Woooo = Woooo + jnp.einsum("kcld,ijcd->klij", ovov, t2)
 
     Wvoov = ovvo.transpose(2, 0, 3, 1) \
         + vops.wvoov_t1(t1) \
@@ -232,7 +243,10 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
         - jnp.einsum("lckd,id,la->akci", ovov, t1, t1)
 
     # --- T2 (Eq. 36) ------------------------------------------------------
-    tau = t2 + jnp.einsum("ia,jb->ijab", t1, t1)
+    if variant == "cc2":
+        tau = jnp.einsum("ia,jb->ijab", t1, t1)
+    else:
+        tau = t2 + jnp.einsum("ia,jb->ijab", t1, t1)
 
     # All P(ij|ab)-symmetrized pieces accumulate into ONE asymmetric buffer
     # K, symmetrized once at the end — this keeps the number of live
@@ -247,10 +261,11 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
     K = bar(K - jnp.einsum("akij,kb->ijab", tmp2, t1))
     K = bar(K + jnp.einsum("ac,ijcb->ijab", Lvv, t2))
     K = bar(K - jnp.einsum("ki,kjab->ijab", Loo, t2))
-    K = bar(K + 2.0 * jnp.einsum("akic,kjcb->ijab", Wvoov, t2))
-    K = bar(K - jnp.einsum("akci,kjcb->ijab", Wvovo, t2))
-    K = bar(K - jnp.einsum("akic,kjbc->ijab", Wvoov, t2))
-    K = bar(K - jnp.einsum("bkci,kjac->ijab", Wvovo, t2))
+    if variant != "cc2":
+        K = bar(K + 2.0 * jnp.einsum("akic,kjcb->ijab", Wvoov, t2))
+        K = bar(K - jnp.einsum("akci,kjcb->ijab", Wvovo, t2))
+        K = bar(K - jnp.einsum("akic,kjbc->ijab", Wvoov, t2))
+        K = bar(K - jnp.einsum("bkci,kjac->ijab", Wvovo, t2))
 
     t2new = K + K.transpose(1, 0, 3, 2)
     t2new += ovov.conj().transpose(0, 2, 1, 3)
@@ -262,12 +277,16 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1):
 
     eia = mo_e_o[:, None] - mo_e_v[None, :]
     d2 = eia[:, None, :, None] + eia[None, :, None, :]
-    return t1new / eia, t2new / d2
+    t1new = t1new / eia
+    t2new = t2new / d2
+    if variant == "ccd":
+        t1new = jnp.zeros_like(t1new)
+    return t1new, t2new
 
 
 def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
            diis_space=6, level_shift=0.0, verbose=0, t1=None, t2=None,
-           ntile=1, diis_start_cycle=0):
+           ntile=1, diis_start_cycle=0, variant="ccsd"):
     """Host-driven CCSD iteration with DIIS (reference cc/ccsd.py:44).
 
     Returns (converged, e_corr, t1, t2).
@@ -286,7 +305,8 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
     e_last = float(energy(t1, t2, eris))
     converged = False
     for it in range(max_cycle):
-        t1new, t2new = update_amps(t1, t2, eris, level_shift, ntile=ntile)
+        t1new, t2new = update_amps(t1, t2, eris, level_shift, ntile=ntile,
+                                   variant=variant)
         normt = float(jnp.linalg.norm(t1new - t1)
                       + jnp.linalg.norm(t2new - t2))
         if it >= diis_start_cycle:
