@@ -31,10 +31,13 @@ def _tile_triples(nvt):
     return np.asarray(out, dtype=np.int32)
 
 
-def kernel(t1, t2, eris, tile=8, dtype=None):
+def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048):
     """E(T) from converged (t1, t2) and an RERIs container (DF or full).
 
     Requires Lov/Lvv when ovvv is absent; ovoo/ovov/fock always.
+    tiles_per_call bounds the runtime of each compiled scan (long single
+    XLA programs can trip device execution watchdogs); the same compiled
+    executable is reused across chunks.
     """
     nocc, nvir = t1.shape
     if dtype is None:
@@ -179,6 +182,15 @@ def kernel(t1, t2, eris, tile=8, dtype=None):
         return carry + e, None
 
     acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    e0 = jnp.zeros((), dtype=acc_dtype)
-    e_sum, _ = jax.lax.scan(tile_energy, e0, trips)
-    return 2.0 * float(e_sum)
+
+    scan_chunk = jax.jit(lambda c, t: jax.lax.scan(tile_energy, c, t)[0])
+    ntrips = trips.shape[0]
+    total = jnp.zeros((), dtype=acc_dtype)
+    # full chunks share one compilation; the remainder adds at most one more
+    p = 0
+    while p < ntrips:
+        n = min(tiles_per_call, ntrips - p)
+        total = total + scan_chunk(jnp.zeros((), dtype=acc_dtype),
+                                   jax.lax.slice(trips, (p, 0), (p + n, 3)))
+        p += n
+    return 2.0 * float(total)
