@@ -31,13 +31,18 @@ def _tile_triples(nvt):
     return np.asarray(out, dtype=np.int32)
 
 
-def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048):
+def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
+           act_hole=None, act_particle=None, mode="exclude_active"):
     """E(T) from converged (t1, t2) and an RERIs container (DF or full).
 
     Requires Lov/Lvv when ovvv is absent; ovoo/ovov/fock always.
     tiles_per_call bounds the runtime of each compiled scan (long single
     XLA programs can trip device execution watchdogs); the same compiled
     executable is reused across chunks.
+
+    act_hole/act_particle restrict the energy sum: 'exclude_active' drops
+    contributions whose six indices are all active (the fork's inactive/
+    environment triples correction), 'only_active' keeps only those.
     """
     nocc, nvir = t1.shape
     if dtype is None:
@@ -81,6 +86,16 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048):
         Lov = Lvv = None
 
     trips = jnp.asarray(_tile_triples(nvp // tile))
+
+    if act_hole is not None:
+        ao_m = np.zeros(nocc, dtype=bool)
+        ao_m[np.asarray(act_hole, dtype=int)] = True
+        av_m = np.zeros(nvp, dtype=bool)
+        av_m[np.asarray(act_particle, dtype=int)] = True
+        act_occ = jnp.asarray(ao_m, dtype)
+        act_vir = jnp.asarray(av_m, dtype)
+    else:
+        act_occ = act_vir = None
 
     perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
 
@@ -177,7 +192,19 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048):
                                   jnp.where((A >= B) & (B >= C), 0.5, 0.0)))
         wgt = wgt.astype(dtype)
 
-        e_tile = jnp.einsum("xyzijk,xyzijk->xyz", W, Z / denom)
+        zd = Z / denom
+        if act_occ is not None:
+            ax = jax.lax.dynamic_slice(act_vir, (a0,), (T,))
+            ay = jax.lax.dynamic_slice(act_vir, (b0,), (T,))
+            az = jax.lax.dynamic_slice(act_vir, (c0,), (T,))
+            act6 = (ax[:, None, None, None, None, None]
+                    * ay[None, :, None, None, None, None]
+                    * az[None, None, :, None, None, None]
+                    * act_occ[None, None, None, :, None, None]
+                    * act_occ[None, None, None, None, :, None]
+                    * act_occ[None, None, None, None, None, :])
+            zd = zd * ((1.0 - act6) if mode == "exclude_active" else act6)
+        e_tile = jnp.einsum("xyzijk,xyzijk->xyz", W, zd)
         e = jnp.sum((e_tile * wgt).astype(carry.dtype))
         return carry + e, None
 

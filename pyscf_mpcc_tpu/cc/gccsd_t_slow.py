@@ -11,7 +11,12 @@ from __future__ import annotations
 import numpy as np
 
 
-def kernel(t1, t2, eris):
+def kernel(t1, t2, eris, act_hole=None, act_particle=None,
+           mode="exclude_active"):
+    """E(T).  With act_hole/act_particle given, the triples whose six
+    indices are all active are excluded ('exclude_active': the fork's
+    inactive/environment correction, uccsd_t_inactive_iterative.py:45-51)
+    or exclusively kept ('only_active')."""
     nocc = eris.nocc
     f = eris.fock
     eo = np.diag(f)[:nocc]
@@ -30,6 +35,13 @@ def kernel(t1, t2, eris):
     # For real integrals <pq||rs> = <rs||pq>.
     dv = ev[:, None, None] + ev[None, :, None] + ev[None, None, :]
 
+    nvir = t1.shape[1]
+    if act_hole is not None:
+        ao = np.zeros(nocc, dtype=bool)
+        ao[np.asarray(act_hole, dtype=int)] = True
+        av = np.zeros(nvir, dtype=bool)
+        av[np.asarray(act_particle, dtype=int)] = True
+        act_abc = (av[:, None, None] & av[None, :, None] & av[None, None, :])
     et = 0.0
     for i in range(nocc):
         for j in range(nocc):
@@ -57,6 +69,13 @@ def kernel(t1, t2, eris):
                 v = (v - v.transpose(1, 0, 2) - v.transpose(2, 1, 0))
 
                 t3c = w / d3
-                t3d = v / d3
-                et += np.einsum("abc,abc->", t3c, (w + v)) / 36.0
+                integrand = t3c * (w + v) / 36.0
+                if act_hole is not None:
+                    all_act = bool(ao[i] and ao[j] and ao[k])
+                    if mode == "exclude_active":
+                        sel = ~act_abc if all_act else np.ones_like(act_abc)
+                    else:
+                        sel = act_abc if all_act else np.zeros_like(act_abc)
+                    integrand = np.where(sel, integrand, 0.0)
+                et += integrand.sum()
     return float(et)
