@@ -178,6 +178,16 @@ class UCCSDDriver:
     def e_tot(self):
         return self._scf.e_tot + self.e_corr
 
+    def ccsd_t(self, t1=None, t2=None):
+        """UCCSD(T) via the spin-orbital triples oracle (cc/gccsd_t_slow);
+        the batched open-shell tile kernel is the planned fast path."""
+        from pyscf_mpcc_tpu.cc import gccsd_slow, gccsd_t_slow
+        so = gccsd_slow.eris_from_scf(self._scf)
+        T1, T2 = uccsd.to_spin_orbital(
+            t1 if t1 is not None else self.t1,
+            t2 if t2 is not None else self.t2, self.nocc)
+        return gccsd_t_slow.kernel(T1, T2, so)
+
 
 def CCSD(mf, frozen=0, mo_coeff=None):
     """Factory mirroring the reference's cc.CCSD dispatch."""

@@ -450,3 +450,24 @@ def kernel(eris: UERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
             break
         e_last = e
     return converged, e, t1, t2
+
+
+def to_spin_orbital(t1, t2, nocc):
+    """Map spin-blocked UCCSD amplitudes to spin-orbital form
+    (order [occ_a, occ_b, vir_a, vir_b], antisymmetry completed)."""
+    t1a, t1b = (np.asarray(x) for x in t1)
+    t2aa, t2ab, t2bb = (np.asarray(x) for x in t2)
+    na, nb = t1a.shape[0], t1b.shape[0]
+    va, vb = t1a.shape[1], t1b.shape[1]
+    no, nv = na + nb, va + vb
+    T1 = np.zeros((no, nv))
+    T1[:na, :va] = t1a
+    T1[na:, va:] = t1b
+    T2 = np.zeros((no, no, nv, nv))
+    T2[:na, :na, :va, :va] = t2aa
+    T2[na:, na:, va:, va:] = t2bb
+    T2[:na, na:, :va, va:] = t2ab
+    T2[na:, :na, va:, :va] = t2ab.transpose(1, 0, 3, 2)
+    T2[:na, na:, va:, :va] = -t2ab.transpose(0, 1, 3, 2)
+    T2[na:, :na, :va, va:] = -t2ab.transpose(1, 0, 2, 3)
+    return T1, T2

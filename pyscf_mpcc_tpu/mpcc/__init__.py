@@ -1,1 +1,2 @@
-from pyscf_mpcc_tpu.mpcc import masks, rmpccsd
+from pyscf_mpcc_tpu.mpcc import masks, rmpccsd, umpccsd, lowlevel, workflow
+from pyscf_mpcc_tpu.mpcc.facade import MPCC
