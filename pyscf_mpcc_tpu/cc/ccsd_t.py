@@ -212,12 +212,15 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
     scan_chunk = jax.jit(lambda c, t: jax.lax.scan(tile_energy, c, t)[0])
     ntrips = trips.shape[0]
-    total = jnp.zeros((), dtype=acc_dtype)
-    # full chunks share one compilation; the remainder adds at most one more
+    total = 0.0
+    # Full chunks share one compilation; the remainder adds at most one
+    # more.  The host-side float() per chunk is a deliberate sync point:
+    # without it the async stream queues every chunk into one long device
+    # execution, which can trip TPU execution watchdogs.
     p = 0
     while p < ntrips:
         n = min(tiles_per_call, ntrips - p)
-        total = total + scan_chunk(jnp.zeros((), dtype=acc_dtype),
-                                   jax.lax.slice(trips, (p, 0), (p + n, 3)))
+        total += float(scan_chunk(jnp.zeros((), dtype=acc_dtype),
+                                  jax.lax.slice(trips, (p, 0), (p + n, 3))))
         p += n
-    return 2.0 * float(total)
+    return 2.0 * total

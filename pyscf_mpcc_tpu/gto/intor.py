@@ -283,6 +283,9 @@ def _to_sph_ctr(blk, sha, shb, cart):
 
 
 def intor_ovlp(mol):
+    from pyscf_mpcc_tpu.gto import native
+    if native.available():
+        return native.ovlp_kin(mol)[0]
     return _assemble_1e(mol, lambda a, b: _ovlp_kin_pair(a, b, False), 1)
 
 
@@ -291,10 +294,16 @@ def intor_kin(mol):
 
 
 def intor_ovlp_kin(mol):
+    from pyscf_mpcc_tpu.gto import native
+    if native.available():
+        return list(native.ovlp_kin(mol))
     return _assemble_1e(mol, lambda a, b: _ovlp_kin_pair(a, b, True), 2)
 
 
 def intor_nuc(mol):
+    from pyscf_mpcc_tpu.gto import native
+    if native.available():
+        return native.nuc(mol)
     coords = mol.atom_coords()
     charges = mol.atom_charges()
     return _assemble_1e(mol, lambda a, b: [_nuc_pair(a, b, coords, charges)], 1)

@@ -161,3 +161,35 @@ def eri4c(mol):
         _dp(c2s), _lp(off), ctypes.c_int(1 if mol.cart else 0),
         ctypes.c_int(s["nao"]), _dp(out))
     return out
+
+
+def ovlp_kin(mol):
+    lib = get_lib()
+    s = segment_shells(mol)
+    c2s, off = c2s_tables()
+    S = np.zeros((s["nao"], s["nao"]))
+    T = np.zeros((s["nao"], s["nao"]))
+    lib.md_ovlp_kin(
+        _ip(s["l"]), _ip(s["nprim"]), _ip(s["prim_off"]), _dp(s["exps"]),
+        _dp(s["coefs"]), _dp(s["centers"]), _ip(s["ao_off"]),
+        ctypes.c_int(s["nsh"]),
+        _dp(c2s), _lp(off), ctypes.c_int(1 if mol.cart else 0),
+        ctypes.c_int(s["nao"]), _dp(S), _dp(T))
+    return S, T
+
+
+def nuc(mol):
+    lib = get_lib()
+    s = segment_shells(mol)
+    c2s, off = c2s_tables()
+    out = np.zeros((s["nao"], s["nao"]))
+    coords = np.ascontiguousarray(mol.atom_coords(), dtype=np.float64)
+    charges = np.ascontiguousarray(mol.atom_charges(), dtype=np.float64)
+    lib.md_nuc(
+        _ip(s["l"]), _ip(s["nprim"]), _ip(s["prim_off"]), _dp(s["exps"]),
+        _dp(s["coefs"]), _dp(s["centers"]), _ip(s["ao_off"]),
+        ctypes.c_int(s["nsh"]),
+        _dp(coords), _dp(charges), ctypes.c_int(mol.natm),
+        _dp(c2s), _lp(off), ctypes.c_int(1 if mol.cart else 0),
+        ctypes.c_int(s["nao"]), _dp(out))
+    return out

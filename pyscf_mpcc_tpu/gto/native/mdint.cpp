@@ -619,3 +619,166 @@ void md_eri4c(const int* l, const int* nprim, const int* prim_off,
 }
 
 }  // extern "C"
+
+// ===================================================== one-electron ints
+namespace {
+
+struct E1dFull {
+    int la, lb;
+    std::vector<double> v;
+    inline double get(int i, int j, int t) const {
+        return v[(i * (lb + 1) + j) * (la + lb + 1) + t];
+    }
+};
+
+void e_coeffs_full(int la, int lb, double a, double b, double AB, E1dFull& E) {
+    E1d tmp;
+    e_coeffs(la, lb, a, b, AB, tmp);
+    E.la = la; E.lb = lb;
+    E.v = tmp.v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// overlap + kinetic in one pass: out_s/out_t shape (nao, nao)
+void md_ovlp_kin(const int* l, const int* nprim, const int* prim_off,
+                 const double* exps, const double* coefs,
+                 const double* centers, const int* ao_off, int nsh,
+                 const double* c2s_data, const long* c2s_off, int cart,
+                 int nao, double* out_s, double* out_t) {
+    C2S c2s{c2s_data, c2s_off, cart};
+#pragma omp parallel
+    {
+        std::vector<double> blk_s, blk_t, sp, tmp;
+#pragma omp for schedule(dynamic)
+        for (int i = 0; i < nsh; ++i) {
+            for (int j = 0; j <= i; ++j) {
+                int la = l[i], lb = l[j];
+                int nca = ncart(la), ncb = ncart(lb);
+                blk_s.assign((size_t)nca * ncb, 0.0);
+                blk_t.assign((size_t)nca * ncb, 0.0);
+                const double* A = centers + 3 * i;
+                const double* B = centers + 3 * j;
+                for (int ip = 0; ip < nprim[i]; ++ip) {
+                    double a = exps[prim_off[i] + ip];
+                    double ca = coefs[prim_off[i] + ip];
+                    for (int jp = 0; jp < nprim[j]; ++jp) {
+                        double b = exps[prim_off[j] + jp];
+                        double w = ca * coefs[prim_off[j] + jp];
+                        double p = a + b;
+                        double pref = w * std::pow(M_PI / p, 1.5);
+                        E1d Ex, Ey, Ez;
+                        e_coeffs(la, lb + 2, a, b, A[0] - B[0], Ex);
+                        e_coeffs(la, lb + 2, a, b, A[1] - B[1], Ey);
+                        e_coeffs(la, lb + 2, a, b, A[2] - B[2], Ez);
+                        auto s1 = [&](const E1d& E, int li, int lj) {
+                            return (lj < 0) ? 0.0 : E.get(li, lj, 0);
+                        };
+                        auto k1 = [&](const E1d& E, int li, int lj) {
+                            double t = -2.0 * b * b * s1(E, li, lj + 2)
+                                     + b * (2 * lj + 1) * s1(E, li, lj);
+                            if (lj >= 2) t -= 0.5 * lj * (lj - 1) * s1(E, li, lj - 2);
+                            return t;
+                        };
+                        int ca_i = 0;
+                        for (int ix = la; ix >= 0; --ix)
+                        for (int iy = la - ix; iy >= 0; --iy, ++ca_i) {
+                            int iz = la - ix - iy;
+                            int cb_i = 0;
+                            for (int jx = lb; jx >= 0; --jx)
+                            for (int jy = lb - jx; jy >= 0; --jy, ++cb_i) {
+                                int jz = lb - jx - jy;
+                                double sx = s1(Ex, ix, jx), sy = s1(Ey, iy, jy),
+                                       sz = s1(Ez, iz, jz);
+                                blk_s[(size_t)ca_i * ncb + cb_i] += pref * sx * sy * sz;
+                                double kx = k1(Ex, ix, jx), ky = k1(Ey, iy, jy),
+                                       kz = k1(Ez, iz, jz);
+                                blk_t[(size_t)ca_i * ncb + cb_i]
+                                    += pref * (kx * sy * sz + sx * ky * sz
+                                               + sx * sy * kz);
+                            }
+                        }
+                    }
+                }
+                int nsa = nsph(la, cart), nsb = nsph(lb, cart);
+                for (int which = 0; which < 2; ++which) {
+                    const std::vector<double>& blk = which ? blk_t : blk_s;
+                    double* out = which ? out_t : out_s;
+                    sph_bra(blk.data(), la, lb, 1, c2s, sp, tmp);
+                    int i0 = ao_off[i], j0 = ao_off[j];
+                    for (int ma = 0; ma < nsa; ++ma)
+                        for (int mb = 0; mb < nsb; ++mb) {
+                            double v = sp[(size_t)ma * nsb + mb];
+                            out[(size_t)(i0 + ma) * nao + j0 + mb] = v;
+                            out[(size_t)(j0 + mb) * nao + i0 + ma] = v;
+                        }
+                }
+            }
+        }
+    }
+}
+
+// nuclear attraction: out shape (nao, nao)
+void md_nuc(const int* l, const int* nprim, const int* prim_off,
+            const double* exps, const double* coefs, const double* centers,
+            const int* ao_off, int nsh,
+            const double* atm_coords, const double* atm_charges, int natm,
+            const double* c2s_data, const long* c2s_off, int cart,
+            int nao, double* out) {
+    C2S c2s{c2s_data, c2s_off, cart};
+#pragma omp parallel
+    {
+        std::vector<double> blk, sp, tmp, rbox, rscr;
+#pragma omp for schedule(dynamic)
+        for (int i = 0; i < nsh; ++i) {
+            PairData pd;
+            Shells sh{l, nprim, prim_off, exps, coefs, centers, ao_off, nsh};
+            for (int j = 0; j <= i; ++j) {
+                build_pair(sh, i, j, pd);
+                int la = l[i], lb = l[j];
+                int nca = ncart(la), ncb = ncart(lb);
+                size_t nherm = (size_t)pd.n1 * pd.n1 * pd.n1;
+                blk.assign((size_t)nca * ncb, 0.0);
+                for (int ip = 0; ip < pd.nprim; ++ip) {
+                    double p = pd.p[ip];
+                    double pref = 2.0 * M_PI / p;
+                    for (int k = 0; k < natm; ++k) {
+                        double Z = atm_charges[k];
+                        if (Z == 0.0) continue;
+                        double X = pd.P[ip * 3 + 0] - atm_coords[3 * k + 0];
+                        double Y = pd.P[ip * 3 + 1] - atm_coords[3 * k + 1];
+                        double Zc = pd.P[ip * 3 + 2] - atm_coords[3 * k + 2];
+                        r_tensor(pd.L, p, X, Y, Zc, rbox, rscr);
+                        for (int xab = 0; xab < pd.cab; ++xab) {
+                            size_t eb = (size_t)xab * nherm * pd.nprim;
+                            double acc = 0.0;
+                            for (int t = 0; t <= pd.L; ++t)
+                            for (int u = 0; u <= pd.L - t; ++u)
+                            for (int v = 0; v <= pd.L - t - u; ++v) {
+                                size_t h = ((size_t)t * pd.n1 + u) * pd.n1 + v;
+                                double e = pd.E[eb + h * pd.nprim + ip];
+                                if (e != 0.0)
+                                    acc += e * rbox[((size_t)t * (pd.L + 1) + u)
+                                                    * (pd.L + 1) + v];
+                            }
+                            blk[xab] -= Z * pref * acc;
+                        }
+                    }
+                }
+                int nsa = nsph(la, cart), nsb = nsph(lb, cart);
+                sph_bra(blk.data(), la, lb, 1, c2s, sp, tmp);
+                int i0 = ao_off[i], j0 = ao_off[j];
+                for (int ma = 0; ma < nsa; ++ma)
+                    for (int mb = 0; mb < nsb; ++mb) {
+                        double v = sp[(size_t)ma * nsb + mb];
+                        out[(size_t)(i0 + ma) * nao + j0 + mb] = v;
+                        out[(size_t)(j0 + mb) * nao + i0 + ma] = v;
+                    }
+            }
+        }
+    }
+}
+
+}  // extern "C"
