@@ -29,25 +29,48 @@ class _JKIncore:
 
 
 class _JKDF:
-    """Density-fitted J/K from the B tensor (naux, nao, nao)."""
+    """Density-fitted J/K from the B tensor (naux, nao, nao).
 
-    def __init__(self, b3c):
-        self.B = b3c
+    K uses the occupied-half-transform algorithm, K = (B C_o)(B C_o)^T with
+    dm = 2 C_o C_o^T (Cholesky factor of dm in general), which is
+    O(naux nao^2 nocc) instead of O(naux nao^3).  Set ``device=True`` to run
+    the contractions on the default JAX device (TPU) — fp32 there, fp64 on
+    host."""
+
+    def __init__(self, b3c, device=False):
+        self.B = np.asarray(b3c)
+        self.device = device
+        if device:
+            import jax.numpy as jnp
+            self._Bd = jnp.asarray(self.B, dtype=jnp.float32)
+
+    def _halfk(self, dm):
+        # dm (symmetric PSD up to noise) = sum_i w_i v_i v_i^T; use eigh
+        w, v = np.linalg.eigh(dm)
+        keep = w > 1e-12
+        return v[:, keep] * np.sqrt(w[keep])
 
     def get_jk(self, dm):
+        if dm.ndim == 3:
+            js, ks = zip(*(self.get_jk(d) for d in dm))
+            return np.array(js), np.array(ks)
+        co = self._halfk(dm)
+        if self.device:
+            import jax.numpy as jnp
+            Bd = self._Bd
+            dmd = jnp.asarray(dm, dtype=jnp.float32)
+            cod = jnp.asarray(co, dtype=jnp.float32)
+            rho = jnp.einsum("Lpq,pq->L", Bd, dmd)
+            j = jnp.einsum("Lpq,L->pq", Bd, rho)
+            lo = jnp.einsum("Lpr,ri->Lpi", Bd, cod)
+            k = jnp.einsum("Lpi,Lqi->pq", lo, lo)
+            return np.asarray(j, dtype=np.float64), np.asarray(k, dtype=np.float64)
         B = self.B
-        if dm.ndim == 2:
-            rho = np.einsum("Lpq,pq->L", B, dm)
-            j = np.einsum("Lpq,L->pq", B, rho)
-            tmp = np.einsum("Lpr,rs->Lps", B, dm)
-            k = np.einsum("Lps,Lqs->pq", tmp, B)
-            return j, k
-        js, ks = [], []
-        for d in dm:
-            j, k = self.get_jk(d)
-            js.append(j)
-            ks.append(k)
-        return np.array(js), np.array(ks)
+        rho = np.einsum("Lpq,pq->L", B, dm, optimize=True)
+        j = np.einsum("Lpq,L->pq", B, rho, optimize=True)
+        lo = np.einsum("Lpr,ri->Lpi", B, co, optimize=True)
+        k = np.einsum("Lpi,Lqi->pq", lo, lo, optimize=True)
+        return j, k
 
 
 class SCFBase:
