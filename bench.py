@@ -33,6 +33,9 @@ CONFIGS = [
     dict(nocc=24, nvir=212, naux=608, ntile=53, timeout=300),
     dict(nocc=16, nvir=128, naux=384, ntile=16, timeout=200),
     dict(nocc=8, nvir=64, naux=128, ntile=8, timeout=150),
+    # last resort: CPU backend, so a wedged accelerator still yields a
+    # meaningful (if slow) measurement instead of an error record
+    dict(nocc=8, nvir=64, naux=128, ntile=8, timeout=300, platform="cpu"),
 ]
 
 
@@ -55,6 +58,8 @@ def reference_cpu_tflops():
 def run_config(cfg):
     """Executed in the child process: measure one configuration."""
     import jax
+    if cfg.get("platform"):
+        jax.config.update("jax_platforms", cfg["platform"])
     import jax.numpy as jnp
     from functools import partial
     from pyscf_mpcc_tpu.cc import rccsd
