@@ -118,6 +118,30 @@ class RCCSDDriver:
     def make_rdm2(self):
         return self.make_rdm12()[1]
 
+    def eeccsd(self, nroots=3, tol=1e-6):
+        """Lowest EE-EOM-CCSD excitation energies (Jacobian-jvp sigma)."""
+        from pyscf_mpcc_tpu.cc import eom
+        eris = self.eris or self.ao2mo()
+        conv, e, vecs = eom.kernel_ee(self.t1, self.t2, eris, nroots=nroots,
+                                      tol=tol)
+        return e
+
+    def dump_chk(self, path, key="ccsd"):
+        """Checkpoint the solution (reference cc/ccsd.py:1318 payload)."""
+        from pyscf_mpcc_tpu.lib import chkfile
+        chkfile.dump_cc(path, self.e_corr, self.t1, self.t2,
+                        mo_coeff=self.mo_coeff, key=key)
+
+    def restore_from_chk(self, path, key="ccsd"):
+        """Warm-start amplitudes from a checkpoint (scanner semantics,
+        reference cc/ccsd.py:883 CCSD_Scanner)."""
+        from pyscf_mpcc_tpu.lib import chkfile
+        import jax.numpy as jnp
+        data = chkfile.load_cc(path, key=key)
+        self.t1 = jnp.asarray(data["t1"])
+        self.t2 = jnp.asarray(data["t2"])
+        return self
+
 
 class UCCSDDriver:
     conv_tol = 1e-8

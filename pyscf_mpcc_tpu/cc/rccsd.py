@@ -82,13 +82,9 @@ def _ladder_df(tau, t1, eris, ntile):
     nocc = tau.shape[0]
     out = out.transpose(1, 2, 0, 3, 4).reshape(nocc, nocc, nvir, nvir)
     # subtract the quadratic dressing artifact
-    tmp = jnp.einsum("kcld,ijcd->klij", _ovov(eris), tau)
+    tmp = jnp.einsum("kcld,ijcd->klij", eris.ovov, tau)
     out = out - jnp.einsum("klij,ka,lb->ijab", tmp, t1, t1)
     return out
-
-
-def _ovov(eris):
-    return eris.ovov
 
 
 class _OvvvOps:

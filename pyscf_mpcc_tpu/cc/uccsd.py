@@ -13,7 +13,7 @@ Cross-validated per-iteration against the spin-orbital textbook oracle
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -46,3 +46,23 @@ def test_ccsd_frozen_core_pinned():
     e, t1, t2 = cc.kernel()
     assert cc.converged
     assert abs(e - E_CCSD_FROZEN1) < 1e-7
+
+
+def test_chk_warm_restart(tmp_path):
+    import os
+    mol, mf, d = _mf()
+    cc = CCSD(mf)
+    cc._eri_ao = d["eri_ao"]
+    cc.conv_tol = 1e-10
+    cc.conv_tol_normt = 1e-8
+    cc.kernel()
+    p = os.path.join(tmp_path, "cc.chk")
+    cc.dump_chk(p)
+    cc2 = CCSD(mf)
+    cc2._eri_ao = d["eri_ao"]
+    cc2.conv_tol = 1e-10
+    cc2.conv_tol_normt = 1e-8
+    cc2.restore_from_chk(p)
+    # warm start converges immediately (few cycles)
+    e, t1, t2 = cc2.kernel(t1=cc2.t1, t2=cc2.t2)
+    assert abs(e - cc.e_corr) < 1e-9
