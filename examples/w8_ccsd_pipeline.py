@@ -48,7 +48,7 @@ def main(small=True):
     mol = gto.M(atom=geom, basis=basis)
     print(f"[{time.time()-t0:7.1f}s] mol built: nao={mol.nao}")
 
-    mf = RHF(mol).density_fit("weigend")
+    mf = RHF(mol).density_fit("weigend" if small else "cc-pvtz-jkfit")
     mf.with_df.build()
     print(f"[{time.time()-t0:7.1f}s] DF built: naux={mf.with_df.get_naoaux()}")
     if not small:

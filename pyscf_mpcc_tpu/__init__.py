@@ -1,17 +1,21 @@
 """pyscf_mpcc_tpu — a TPU-native coupled-cluster / MP2 engine.
 
-A standalone, from-scratch quantum-chemistry framework with the capability set
-of the PySCF fork ``FabianFaulstich/pyscf_mpcc`` (mp, cc, ao2mo, df, mpcc),
-re-designed TPU-first:
+A standalone, from-scratch quantum-chemistry framework with the capability
+set of the PySCF fork ``FabianFaulstich/pyscf_mpcc`` (mp, cc, ao2mo, df,
+mpcc), re-designed TPU-first:
 
-- AO integrals from a clean-room McMurchie–Davidson engine (``gto``),
+- AO integrals from a clean-room McMurchie-Davidson engine (``gto``,
+  NumPy + native C++/OpenMP),
 - RHF/UHF/ROHF mean field (``scf``),
 - density fitting with 3-center B tensors (``df``),
-- MP2 / CCSD / CCSD(T) / MP-CC hybrid in JAX (XLA + Pallas + pjit), with
-  hot contractions on the MXU and ICI sharding via ``jax.sharding`` meshes.
+- MP2 / CCSD / CCSD(T) / Lambda-RDM / EOM / MP-CC hybrid in JAX
+  (XLA + pjit + functional transforms), hot contractions on the MXU,
+  ICI sharding via ``jax.sharding`` meshes (``parallel``),
+- Pipek-Mezey localization and AVAS (``lo``), determinant FCI oracle
+  (``ci``).
 
-The compute path is pure-functional JAX: amplitudes are pytrees, the
-amplitude update is a single jitted function, and DIIS runs on-device.
+See README.md for the layer map and STATUS.md for the component
+inventory against the reference.
 """
 
 __version__ = "0.1.0"
