@@ -32,7 +32,8 @@ def _tile_triples(nvt):
 
 
 def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
-           act_hole=None, act_particle=None, mode="exclude_active"):
+           act_hole=None, act_particle=None, mode="exclude_active",
+           mesh=None):
     """E(T) from converged (t1, t2) and an RERIs container (DF or full).
 
     Requires Lov/Lvv when ovvv is absent; ovoo/ovov/fock always.
@@ -209,6 +210,40 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
         return carry + e, None
 
     acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    if mesh is not None:
+        # distribute the tile triples across the mesh: every device scans
+        # its shard of the (a>=b>=c) tile space and the partial energies
+        # are psum-reduced — the TPU-native counterpart of the reference's
+        # MPI job slicing (lib/cc/ccsd_t.c:856 MPICCsd_t_contract).
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        ndev = mesh.devices.size
+        ntrips = trips.shape[0]
+        npad = (-ntrips) % ndev
+        if npad:
+            # pad with the last tile; duplicates are cancelled by weight 0
+            # masks? no — replicate tile 0 and subtract its energy npad times
+            pad_t = jnp.tile(trips[:1], (npad, 1))
+            trips_p = jnp.concatenate([trips, pad_t])
+        else:
+            trips_p = trips
+        axis = mesh.axis_names[0]
+
+        def _scan_shard(tt):
+            init = jax.lax.pvary(jnp.zeros((), dtype=acc_dtype), axis)
+            e, _ = jax.lax.scan(tile_energy, init, tt)
+            return jax.lax.psum(e, axis)
+
+        sharded = shard_map(_scan_shard, mesh=mesh, in_specs=P(axis),
+                            out_specs=P())
+        e_sum = float(sharded(trips_p))
+        if npad:
+            e0, _ = jax.lax.scan(tile_energy,
+                                 jnp.zeros((), dtype=acc_dtype),
+                                 jnp.tile(trips[:1], (npad, 1)))
+            e_sum -= float(e0)
+        return 2.0 * e_sum
 
     scan_chunk = jax.jit(lambda c, t: jax.lax.scan(tile_energy, c, t)[0])
     ntrips = trips.shape[0]

@@ -40,3 +40,19 @@ def test_shard_map_ladder_matches_local():
 
 def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
+
+
+def test_sharded_ccsd_t_matches_single_device():
+    import jax.numpy as jnp2
+    from pyscf_mpcc_tpu.cc import ccsd_t, eris as eris_mod, rccsd
+    from pyscf_mpcc_tpu.testutil import h2o_ccpvdz
+    d = h2o_ccpvdz(geom="tilt")
+    er = eris_mod.make_eris_incore(d["eri_ao"], d["mo_coeff"],
+                                   d["fock_ao"], 5)
+    conv, e, t1, t2 = rccsd.kernel(er, conv_tol=1e-11, conv_tol_normt=1e-9,
+                                   max_cycle=200)
+    assert conv
+    e_single = ccsd_t.kernel(t1, t2, er, tile=5)
+    mesh = make_mesh(8)
+    e_sharded = ccsd_t.kernel(t1, t2, er, tile=5, mesh=mesh)
+    assert abs(e_single - e_sharded) < 1e-12
