@@ -73,3 +73,70 @@ def kernel_ee(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
     conv, e, vecs = davidson(matvec, x0, diag, nroots=nroots, tol=tol,
                              max_cycle=max_cycle, verbose=verbose)
     return conv, e, vecs
+
+
+# ---------------------------------------------------------------------------
+# unrestricted EE (spin-blocked Jacobian; includes the triplet sector)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def ee_sigma_u(t1, t2, eris_u, r1, r2):
+    def rfun(x1, x2):
+        return lambda_ad.residual_u(x1, x2, eris_u)
+
+    _, (s1, s2) = jax.jvp(rfun, (t1, t2), (r1, r2))
+    return s1, s2
+
+
+def kernel_ee_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
+                verbose=0):
+    """Lowest EE-EOM-UCCSD roots (covers singlet and triplet sectors)."""
+    from pyscf_mpcc_tpu.cc import uccsd as umod
+    na, nb = umod._nocc(eris_u)
+    ea, eb = (np.asarray(x) for x in eris_u.mo_energy)
+    eia_a = ea[None, na:] - ea[:na, None]
+    eia_b = eb[None, nb:] - eb[:nb, None]
+    shapes = [x.shape for x in (*t1, *t2)]
+    sizes = [int(np.prod(s)) for s in shapes]
+    daa = (eia_a[:, None, :, None] + eia_a[None, :, None, :])
+    dab = (eia_a[:, None, :, None] + eia_b[None, :, None, :])
+    dbb = (eia_b[:, None, :, None] + eia_b[None, :, None, :])
+    diag = np.concatenate([eia_a.ravel(), eia_b.ravel(),
+                           daa.ravel(), dab.ravel(), dbb.ravel()])
+
+    def unpack(x):
+        out, p = [], 0
+        for s, n in zip(shapes, sizes):
+            out.append(jnp.asarray(x[p:p + n].reshape(s)))
+            p += n
+        return (out[0], out[1]), (out[2], out[3], out[4])
+
+    def matvec(x):
+        r1, r2 = unpack(x)
+        raa = 0.25 * (r2[0] - r2[0].transpose(1, 0, 2, 3)
+                      - r2[0].transpose(0, 1, 3, 2)
+                      + r2[0].transpose(1, 0, 3, 2))
+        rbb = 0.25 * (r2[2] - r2[2].transpose(1, 0, 2, 3)
+                      - r2[2].transpose(0, 1, 3, 2)
+                      + r2[2].transpose(1, 0, 3, 2))
+        s1, s2 = ee_sigma_u(t1, t2, eris_u, r1, (raa, r2[1], rbb))
+        saa = 0.25 * (s2[0] - s2[0].transpose(1, 0, 2, 3)
+                      - s2[0].transpose(0, 1, 3, 2)
+                      + s2[0].transpose(1, 0, 3, 2))
+        sbb = 0.25 * (s2[2] - s2[2].transpose(1, 0, 2, 3)
+                      - s2[2].transpose(0, 1, 3, 2)
+                      + s2[2].transpose(1, 0, 3, 2))
+        return np.concatenate([np.asarray(v).ravel()
+                               for v in (*s1, saa, s2[1], sbb)])
+
+    n1 = na * t1[0].shape[1] + nb * t1[1].shape[1]
+    order = np.argsort(diag[:n1])
+    x0 = []
+    for k in range(nroots):
+        v = np.zeros(diag.size)
+        v[order[k]] = 1.0
+        x0.append(v)
+    from pyscf_mpcc_tpu.lib.linalg import davidson
+    conv, e, vecs = davidson(matvec, x0, diag, nroots=nroots, tol=tol,
+                             max_cycle=max_cycle, verbose=verbose)
+    return conv, e, vecs

@@ -70,3 +70,29 @@ def test_ee_eom_matches_fci_for_two_electrons():
     for k in range(2):
         assert convs[k]
         assert abs(omegas[k] - fci_gaps[k]) < 1e-6
+
+
+def test_ee_eom_uccsd_matches_det_fci():
+    """U-EE covers both spin sectors; for two electrons all roots are exact
+    eigenstates of the determinant-space FCI."""
+    from pyscf_mpcc_tpu.cc import eom_slow, gccsd_slow, uccsd
+    from pyscf_mpcc_tpu.ci.fci_slow import FCI
+    mol, mf = _h2()
+    eri_ao = gto.intor_eri(mol)
+    f = mf.get_fock(mf.make_rdm1())
+    ue = uccsd.make_eris_incore(eri_ao, mf.mo_coeff, mf.mo_coeff, f, f, 1, 1)
+    conv, e, t1u, t2u = rccsd_conv = __import__(
+        "pyscf_mpcc_tpu.cc.uccsd", fromlist=["kernel"]).kernel(
+        ue, conv_tol=1e-12, conv_tol_normt=1e-11, max_cycle=100)
+    assert conv
+    from pyscf_mpcc_tpu.cc import eom
+    convs, omegas, _ = eom.kernel_ee_u(t1u, t2u, ue, nroots=4, tol=1e-7)
+    # exact spectrum from determinant FCI (all spin sectors)
+    so = gccsd_slow.eris_from_scf(mf)
+    h_so = eom_slow.h_so_from_eris(so)
+    fci = FCI(h_so, so.ints, 2, so.nso)
+    w, _ = fci.kernel(nroots=8)
+    gaps = np.unique(np.round(w[1:] - w[0], 9))
+    for k in range(4):
+        assert convs[k]
+        assert np.min(np.abs(gaps - omegas[k])) < 1e-6
