@@ -81,9 +81,8 @@ def test_ee_eom_uccsd_matches_det_fci():
     eri_ao = gto.intor_eri(mol)
     f = mf.get_fock(mf.make_rdm1())
     ue = uccsd.make_eris_incore(eri_ao, mf.mo_coeff, mf.mo_coeff, f, f, 1, 1)
-    conv, e, t1u, t2u = rccsd_conv = __import__(
-        "pyscf_mpcc_tpu.cc.uccsd", fromlist=["kernel"]).kernel(
-        ue, conv_tol=1e-12, conv_tol_normt=1e-11, max_cycle=100)
+    conv, e, t1u, t2u = uccsd.kernel(ue, conv_tol=1e-12,
+                                     conv_tol_normt=1e-11, max_cycle=100)
     assert conv
     from pyscf_mpcc_tpu.cc import eom
     convs, omegas, _ = eom.kernel_ee_u(t1u, t2u, ue, nroots=4, tol=1e-7)
@@ -91,7 +90,7 @@ def test_ee_eom_uccsd_matches_det_fci():
     so = gccsd_slow.eris_from_scf(mf)
     h_so = eom_slow.h_so_from_eris(so)
     fci = FCI(h_so, so.ints, 2, so.nso)
-    w, _ = fci.kernel(nroots=8)
+    w, _ = fci.kernel(nroots=16)
     gaps = np.unique(np.round(w[1:] - w[0], 9))
     for k in range(4):
         assert convs[k]
