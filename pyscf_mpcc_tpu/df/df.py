@@ -21,6 +21,11 @@ DEFAULT_AUXBASIS = "weigend"  # def2-universal-jfit
 
 
 def make_auxmol(mol, auxbasis=None):
+    """auxbasis: name string, per-element dict, or 'etb' for automatic
+    even-tempered generation (reference df/addons.py aug_etb)."""
+    if auxbasis == "etb":
+        from pyscf_mpcc_tpu.df.addons import aug_etb
+        auxbasis = aug_etb(mol)
     aux = Mole(atom=[[s, c] for s, c in zip(mol.symbols, mol.coords)],
                basis=auxbasis or DEFAULT_AUXBASIS, unit="bohr",
                charge=mol.charge, spin=mol.spin, cart=mol.cart,

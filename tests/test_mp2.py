@@ -68,3 +68,19 @@ def test_iterative_mp2_noncanonical_invariance():
         jnp.asarray(fock_mo[nocc:, nocc:]), conv_tol=1e-11, max_cycle=200)
     assert conv
     assert abs(e - E_MP2) < 1e-8
+
+
+def test_etb_auxbasis_dfmp2():
+    """Auto-generated even-tempered aux basis gives typical DF accuracy."""
+    from pyscf_mpcc_tpu.df import DF
+    from pyscf_mpcc_tpu.testutil import mol_of
+    d = h2o_ccpvdz()
+    mol = mol_of()
+    df = DF(mol, "etb")
+    df.build()
+    co = d["mo_coeff"][:, :5]
+    cv = d["mo_coeff"][:, 5:]
+    Lov = np.einsum("Lpq,pi,qa->Lia", df.B_ao(), co, cv, optimize=True)
+    e, _ = mp2.df_kernel(jnp.asarray(d["mo_energy"][:5]),
+                         jnp.asarray(d["mo_energy"][5:]), jnp.asarray(Lov))
+    assert abs(float(e) - E_MP2) < 1e-4
