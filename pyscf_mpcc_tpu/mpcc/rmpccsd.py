@@ -26,17 +26,32 @@ from pyscf_mpcc_tpu.cc.eris import RERIs
 from pyscf_mpcc_tpu.mpcc.masks import frozen_masks
 
 
-@partial(jax.jit, static_argnames=("ntile",))
-def update_amps_masked(t1, t2, eris, m1, m2, level_shift=0.0, ntile=1):
+@partial(jax.jit, static_argnames=("ntile", "bath_update"))
+def update_amps_masked(t1, t2, eris, m1, m2, level_shift=0.0, ntile=1,
+                       bath_update="freeze"):
+    """CC update with the frozen blocks either held at their incoming
+    values ('freeze', the reference's default overwrite semantics) or
+    relaxed at MP2 level ('mp2': non-canonical Jacobi MP2 sweep on the
+    bath blocks — the oo_mp2 update family of umpccsd.py:76-92)."""
     t1new, t2new = rccsd.update_amps(t1, t2, eris, level_shift, ntile=ntile)
-    t1new = jnp.where(m1, t1, t1new)
-    t2new = jnp.where(m2, t2, t2new)
+    if bath_update == "mp2":
+        from pyscf_mpcc_tpu.mp import mp2 as mp2_mod
+        nocc = eris.nocc
+        foo = eris.fock[:nocc, :nocc]
+        fvv = eris.fock[nocc:, nocc:]
+        t2_mp2, _ = mp2_mod.update_amps(t2, eris.ovov, foo, fvv)
+        t1new = jnp.where(m1, jnp.zeros_like(t1), t1new)
+        t2new = jnp.where(m2, t2_mp2, t2new)
+    else:
+        t1new = jnp.where(m1, t1, t1new)
+        t2new = jnp.where(m2, t2, t2new)
     return t1new, t2new
 
 
 def kernel(eris: RERIs, act_hole, act_particle, idx_s, idx_d,
            t1=None, t2=None, max_cycle=50, conv_tol=1e-8,
-           conv_tol_normt=1e-6, diis_space=6, verbose=0, ntile=1):
+           conv_tol_normt=1e-6, diis_space=6, verbose=0, ntile=1,
+           bath_update="freeze"):
     """MP-CC iteration.  Returns (converged, e_corr, t1, t2).
 
     t1/t2 defaults to the MP2 guess (making the frozen bath = canonical
@@ -61,7 +76,8 @@ def kernel(eris: RERIs, act_hole, act_particle, idx_s, idx_d,
     e_last = float(rccsd.energy(t1, t2, eris))
     converged = False
     for it in range(max_cycle):
-        t1new, t2new = update_amps_masked(t1, t2, eris, m1, m2, ntile=ntile)
+        t1new, t2new = update_amps_masked(t1, t2, eris, m1, m2, ntile=ntile,
+                                          bath_update=bath_update)
         normt = float(jnp.linalg.norm(t1new - t1)
                       + jnp.linalg.norm(t2new - t2))
         vec = np.concatenate([np.asarray(t1new).ravel(),

@@ -99,3 +99,33 @@ def test_partial_freeze_between_mp2_and_ccsd():
     m1, m2 = frozen_masks(act_hole, act_particle, 5, er.nvir,
                           [], list(range(15)))
     assert float(jnp.abs(jnp.where(m2, t2 - t2_0, 0.0)).max()) < 1e-12
+
+
+def test_oomp2_bath_update_limits():
+    """bath_update='mp2': with every block in the bath the fixed point is
+    iterative MP2; with no frozen blocks it is CCSD."""
+    er = _eris()
+    conv, e, t1, t2 = rmpccsd.kernel(
+        er, act_hole=[0], act_particle=[0],
+        idx_s=list(range(4)), idx_d=list(range(16)),
+        conv_tol=1e-10, conv_tol_normt=1e-8, bath_update="mp2",
+        max_cycle=100)
+    assert conv
+    assert abs(e - E_MP2) < 1e-8
+    conv, e, t1, t2 = rmpccsd.kernel(
+        er, act_hole=[0], act_particle=[0], idx_s=[], idx_d=[],
+        conv_tol=1e-10, conv_tol_normt=1e-8, bath_update="mp2",
+        max_cycle=100)
+    assert conv
+    assert abs(e - E_CCSD) < 1e-7
+
+
+def test_oomp2_bath_between():
+    er = _eris()
+    conv, e, *_ = rmpccsd.kernel(
+        er, act_hole=[2, 3, 4], act_particle=[0, 1, 2, 3],
+        idx_s=[], idx_d=list(range(15)),
+        conv_tol=1e-10, conv_tol_normt=1e-8, bath_update="mp2",
+        max_cycle=100)
+    assert conv
+    assert E_CCSD - 1e-9 < e < E_MP2 + 1e-9
