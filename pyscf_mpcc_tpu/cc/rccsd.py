@@ -321,3 +321,20 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
             break
         e_last = e
     return converged, e, t1, t2
+
+
+def flops_per_update(nocc, nvir, naux=None):
+    """Analytic FLOP count of one DF update (reference _flops analog,
+    pyscf/cc/ccsd.py:1754) — the denominator for MXU-utilization reporting."""
+    no, nv = nocc, nvir
+    fl = 0.0
+    if naux:
+        fl += 2.0 * naux * nv**4            # ladder reconstruction
+        fl += 2.0 * naux * no * nv**3 * 4   # ovvv-free factorized terms
+    else:
+        fl += 2.0 * no * nv**4              # materialized ladder feed
+    fl += 2.0 * no**2 * nv**4               # tau * Wvvvv
+    fl += 2.0 * no**3 * nv**3 * 6           # ring terms (Wvoov/Wvovo builds+uses)
+    fl += 2.0 * no**4 * nv**2 * 2           # Woooo build + contraction
+    fl += 2.0 * no**2 * nv**3 * 4 + 2.0 * no**3 * nv**2 * 4  # F/L closures
+    return fl
