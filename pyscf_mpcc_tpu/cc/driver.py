@@ -167,7 +167,6 @@ class UCCSDDriver:
 
     def ao2mo(self, mo_coeff=None):
         mo = self.mo_coeff if mo_coeff is None else np.asarray(mo_coeff)
-        eri_ao = gto.intor_eri(self.mol)
         dm = self._scf.make_rdm1()
         if np.asarray(dm).ndim == 2:  # RHF source
             fock = self._scf.get_fock(dm)
@@ -178,9 +177,16 @@ class UCCSDDriver:
             fa = h + j[0] + j[1] - k[0]
             fb = h + j[0] + j[1] - k[1]
         f = self.frozen
-        self.eris = uccsd.make_eris_incore(
-            eri_ao, mo[0][:, f:], mo[1][:, f:], fa, fb,
-            self.nocc[0], self.nocc[1])
+        if getattr(self._scf, "with_df", None) is not None:
+            from pyscf_mpcc_tpu.cc import uccsd_df
+            self.eris = uccsd_df.make_eris_df(
+                self._scf.with_df.B_ao(), mo[0][:, f:], mo[1][:, f:],
+                fa, fb, self.nocc[0], self.nocc[1])
+        else:
+            eri_ao = gto.intor_eri(self.mol)
+            self.eris = uccsd.make_eris_incore(
+                eri_ao, mo[0][:, f:], mo[1][:, f:], fa, fb,
+                self.nocc[0], self.nocc[1])
         return self.eris
 
     def kernel(self, t1=None, t2=None, eris=None):

@@ -435,8 +435,12 @@ def kernel(eris: UERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
     diis = DIIS(space=diis_space)
     e_last = float(energy(t1, t2, eris))
     converged = False
+    upd = update_amps
+    if type(eris).__name__ == "UERIsDF":
+        from pyscf_mpcc_tpu.cc import uccsd_df
+        upd = uccsd_df.update_amps
     for it in range(max_cycle):
-        t1new, t2new = update_amps(t1, t2, eris, level_shift)
+        t1new, t2new = upd(t1, t2, eris, level_shift)
         normt = sum(float(jnp.linalg.norm(a - b))
                     for a, b in zip((*t1new, *t2new), (*t1, *t2)))
         vec = np.asarray(amplitudes_to_vector(t1new, t2new))
