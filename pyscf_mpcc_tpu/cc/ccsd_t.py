@@ -103,21 +103,56 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     o = nocc
     T = tile
 
-    def ov_block(x0, y0):
-        """(ix|fy) for x in tile(x0), y in tile(y0) -> [x, y, i, f]."""
-        zi32 = jnp.int32(0)
-        if ovvv is not None:
-            blk = jax.lax.dynamic_slice(
-                ovvv, (zi32, x0, zi32, y0), (o, T, nvp, T))  # [i, x, f, y]
-            return blk.transpose(1, 3, 0, 2)
-        lo = jax.lax.dynamic_slice(Lov, (zi32, zi32, x0), (Lov.shape[0], o, T))
-        lv = jax.lax.dynamic_slice(Lvv, (zi32, zi32, y0), (Lvv.shape[0], nvp, T))
-        return jnp.einsum("Lix,Lfy->xyif", lo, lv,
-                          preferred_element_type=dtype)
+    # The large tensors are passed to the jitted chunk functions as
+    # ARGUMENTS (a dict pytree).  Closing over them would embed gigabytes
+    # of constants into the lowered HLO — which is what used to break the
+    # remote compile at production scale.
+    big_arrays = dict(t2T=t2T, vooo=vooo, oovv_r=oovv_r, t1p=t1p,
+                      fvo_p=fvo_p, ev_p=ev_p, eo=eo)
+    if ovvv is not None:
+        big_arrays["ovvv"] = ovvv
+    else:
+        big_arrays["Lov"] = Lov
+        big_arrays["Lvv"] = Lvv
+    if act_occ is not None:
+        big_arrays["act_occ"] = act_occ
+        big_arrays["act_vir"] = act_vir
 
     oo = o * o
 
-    def tile_energy(carry, abc):
+    def make_tile_energy(big):
+        t2T = big["t2T"]
+        vooo = big["vooo"]
+        oovv_r = big["oovv_r"]
+        t1p = big["t1p"]
+        fvo_p = big["fvo_p"]
+        ev_p = big["ev_p"]
+        eo = big["eo"]
+        ovvv = big.get("ovvv")
+        Lov = big.get("Lov")
+        Lvv = big.get("Lvv")
+        act_occ = big.get("act_occ")
+        act_vir = big.get("act_vir")
+
+        def ov_block(x0, y0):
+            zi32 = jnp.int32(0)
+            if ovvv is not None:
+                blk = jax.lax.dynamic_slice(
+                    ovvv, (zi32, x0, zi32, y0), (o, T, nvp, T))
+                return blk.transpose(1, 3, 0, 2)
+            lo = jax.lax.dynamic_slice(Lov, (zi32, zi32, x0),
+                                       (Lov.shape[0], o, T))
+            lv = jax.lax.dynamic_slice(Lvv, (zi32, zi32, y0),
+                                       (Lvv.shape[0], nvp, T))
+            return jnp.einsum("Lix,Lfy->xyif", lo, lv,
+                              preferred_element_type=dtype)
+
+        return _tile_energy_body(ov_block, t2T, vooo, oovv_r, t1p, fvo_p,
+                                 ev_p, eo, act_occ, act_vir)
+
+    def _tile_energy_body(ov_block, t2T, vooo, oovv_r, t1p, fvo_p, ev_p, eo,
+                          act_occ, act_vir):
+      def tile_energy(carry, abc):
         zi32 = jnp.int32(0)
         a0, b0, c0 = (jnp.int32(abc[0] * T), jnp.int32(abc[1] * T),
                       jnp.int32(abc[2] * T))
@@ -209,6 +244,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
         e = jnp.sum((e_tile * wgt).astype(carry.dtype))
         return carry + e, None
 
+      return tile_energy
+
     acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     if mesh is not None:
@@ -230,22 +267,23 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             trips_p = trips
         axis = mesh.axis_names[0]
 
-        def _scan_shard(tt):
+        def _scan_shard(tt, big):
             init = jax.lax.pvary(jnp.zeros((), dtype=acc_dtype), axis)
-            e, _ = jax.lax.scan(tile_energy, init, tt)
+            e, _ = jax.lax.scan(make_tile_energy(big), init, tt)
             return jax.lax.psum(e, axis)
 
-        sharded = shard_map(_scan_shard, mesh=mesh, in_specs=P(axis),
-                            out_specs=P())
-        e_sum = float(sharded(trips_p))
+        sharded = jax.jit(shard_map(_scan_shard, mesh=mesh,
+                                    in_specs=(P(axis), P()), out_specs=P()))
+        e_sum = float(sharded(trips_p, big_arrays))
         if npad:
-            e0, _ = jax.lax.scan(tile_energy,
+            e0, _ = jax.lax.scan(make_tile_energy(big_arrays),
                                  jnp.zeros((), dtype=acc_dtype),
                                  jnp.tile(trips[:1], (npad, 1)))
             e_sum -= float(e0)
         return 2.0 * e_sum
 
-    scan_chunk = jax.jit(lambda c, t: jax.lax.scan(tile_energy, c, t)[0])
+    scan_chunk = jax.jit(
+        lambda c, t, big: jax.lax.scan(make_tile_energy(big), c, t)[0])
     ntrips = trips.shape[0]
     total = 0.0
     # Full chunks share one compilation; the remainder adds at most one
@@ -256,6 +294,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     while p < ntrips:
         n = min(tiles_per_call, ntrips - p)
         total += float(scan_chunk(jnp.zeros((), dtype=acc_dtype),
-                                  jax.lax.slice(trips, (p, 0), (p + n, 3))))
+                                  jax.lax.slice(trips, (p, 0), (p + n, 3)),
+                                  big_arrays))
         p += n
     return 2.0 * total

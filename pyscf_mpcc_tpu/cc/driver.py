@@ -16,7 +16,7 @@ from pyscf_mpcc_tpu import gto
 from pyscf_mpcc_tpu.cc import ccsd_t as ccsd_t_mod
 from pyscf_mpcc_tpu.cc import eris as eris_mod
 from pyscf_mpcc_tpu.cc import lambda_ad, rccsd, uccsd
-from pyscf_mpcc_tpu.scf.hf import RHF as _RHF, UHF as _UHF
+from pyscf_mpcc_tpu.scf.hf import UHF as _UHF
 
 
 class RCCSDDriver:

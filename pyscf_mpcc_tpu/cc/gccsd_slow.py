@@ -81,7 +81,6 @@ def build_eris(eri_ao, mo_a, mo_b, fock_ao, nelec):
 def eris_from_scf(mf):
     """Build spin-orbital ERIs directly from a converged mean-field object."""
     from pyscf_mpcc_tpu import gto
-    from pyscf_mpcc_tpu.scf.hf import RHF as _RHF
     eri_ao = gto.intor_eri(mf.mol)
     if mf.mo_coeff.ndim == 2:  # RHF
         dm = mf.make_rdm1()

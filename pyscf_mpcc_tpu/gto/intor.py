@@ -15,8 +15,6 @@ Olsen, "Molecular Electronic-Structure Theory", ch. 9.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 from scipy.special import gammainc, gamma as _gamma_fn
 

@@ -14,7 +14,7 @@ that total energies are directly comparable:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -11,7 +11,6 @@ Lowdin (S^1/2-orthogonalized) charges, close to the reference's default
 from __future__ import annotations
 
 import numpy as np
-import scipy.linalg
 
 
 def _sqrtm(S):

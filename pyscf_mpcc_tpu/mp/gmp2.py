@@ -5,9 +5,6 @@ uniform for RHF/UHF/ROHF references via the gccsd_slow eris builder."""
 
 from __future__ import annotations
 
-import numpy as np
-
-
 def kernel(eris):
     """(e_mp2, t2_so) from a cc.gccsd_slow.SpinOrbERIs container."""
     from pyscf_mpcc_tpu.cc import gccsd_slow

@@ -9,8 +9,6 @@ jitted Jacobi+DIIS loop usable with a non-diagonal (localized-orbital) Fock.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from pyscf_mpcc_tpu import ao2mo, gto
-from pyscf_mpcc_tpu.cc import eris as eris_mod, rccsd
+from pyscf_mpcc_tpu import gto
+from pyscf_mpcc_tpu.cc import eris as eris_mod
 from pyscf_mpcc_tpu.lo.pm import lowdin_populations, pm_localize
 from pyscf_mpcc_tpu.mp import mp2
 from pyscf_mpcc_tpu.mpcc import rmpccsd
