@@ -282,7 +282,8 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1,
 
 def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
            diis_space=6, level_shift=0.0, verbose=0, t1=None, t2=None,
-           ntile=1, diis_start_cycle=0, variant="ccsd"):
+           ntile=1, diis_start_cycle=0, variant="ccsd",
+           diis_backend="host"):
     """Host-driven CCSD iteration with DIIS (reference cc/ccsd.py:44).
 
     Returns (converged, e_corr, t1, t2).
@@ -296,23 +297,39 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
     if t2 is None:
         t2 = t2_0
     log.info("RCCSD MP2 init E_corr = %.14f", float(emp2))
-    diis = DIIS(space=diis_space)
     nocc, nvir = t1.shape
     e_last = float(energy(t1, t2, eris))
     converged = False
+    if diis_backend == "device":
+        # amplitude-sized data never leaves the device: the ring buffer,
+        # the B-matrix solve, and the extrapolation are all jitted
+        from pyscf_mpcc_tpu.lib import device_diis
+        n_all = nocc * nvir + int(np.prod(t2.shape))
+        dstate = device_diis.init(n_all, diis_space, t2.dtype)
+        pack = jax.jit(lambda a, b: jnp.concatenate([a.ravel(), b.ravel()]))
+        vec_old = pack(t1, t2)
+    else:
+        diis = DIIS(space=diis_space)
     for it in range(max_cycle):
         t1new, t2new = update_amps(t1, t2, eris, level_shift, ntile=ntile,
                                    variant=variant)
         normt = float(jnp.linalg.norm(t1new - t1)
                       + jnp.linalg.norm(t2new - t2))
-        if it >= diis_start_cycle:
+        if it < diis_start_cycle:
+            t1, t2 = t1new, t2new
+        elif diis_backend == "device":
+            vec_new = pack(t1new, t2new)
+            dstate, vec = device_diis.update(dstate, vec_new,
+                                             vec_new - vec_old)
+            vec_old = vec
+            t1 = vec[: nocc * nvir].reshape(nocc, nvir)
+            t2 = vec[nocc * nvir:].reshape(t2new.shape)
+        else:
             vec = np.concatenate([np.asarray(t1new).ravel(),
                                   np.asarray(t2new).ravel()])
             vec = diis.update(vec)
             t1 = jnp.asarray(vec[: nocc * nvir].reshape(nocc, nvir))
             t2 = jnp.asarray(vec[nocc * nvir:].reshape(t2new.shape))
-        else:
-            t1, t2 = t1new, t2new
         e = float(energy(t1, t2, eris))
         log.info("cycle %2d  E_corr(RCCSD) = %.14f  dE = %10.3e  |dt| = %9.3e",
                  it, e, e - e_last, normt)

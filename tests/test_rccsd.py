@@ -67,3 +67,14 @@ def test_df_ladder_matches_full_ladder():
     c1, c2 = rccsd.update_amps(t1, t2, er_direct, ntile=1)
     assert float(jnp.abs(a1 - c1).max()) < 1e-9
     assert float(jnp.abs(a2 - c2).max()) < 1e-9
+
+
+def test_device_diis_matches_host():
+    """The on-device DIIS ring buffer converges to the same fixed point."""
+    er = _eris()
+    conv_h, e_h, *_ = rccsd.kernel(er, conv_tol=1e-10, conv_tol_normt=1e-8,
+                                   max_cycle=100)
+    conv_d, e_d, *_ = rccsd.kernel(er, conv_tol=1e-10, conv_tol_normt=1e-8,
+                                   max_cycle=100, diis_backend="device")
+    assert conv_h and conv_d
+    assert abs(e_h - e_d) < 1e-8
