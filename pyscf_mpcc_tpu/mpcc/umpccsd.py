@@ -112,3 +112,27 @@ def kernel(eris, act_hole, act_particle, idx_s, idx_d, t1=None, t2=None,
             break
         e_last = e
     return converged, e, t1, t2
+
+
+def lambda_kernel(eris, t1, t2, act_hole, act_particle, idx_s, idx_d,
+                  max_cycle=50, conv_tol=1e-7, verbose=0):
+    """Fragment/environment-split unrestricted Lambda (the fork's
+    umpccsd_lambda capability): the frozen-block mask removes the bath
+    equations from the AD-generated Lambda system."""
+    from pyscf_mpcc_tpu.cc import lambda_ad
+    na, nb = uccsd._nocc(eris)
+    va = eris.ovov.shape[1]
+    vb = eris.OVOV.shape[1]
+    if idx_s and not isinstance(idx_s[0], (list, tuple, np.ndarray)):
+        idx_s = (idx_s, idx_s)
+    if idx_d and not isinstance(idx_d[0], (list, tuple, np.ndarray)):
+        idx_d = (idx_d, idx_d, idx_d)
+    if not idx_s:
+        idx_s = ([], [])
+    if not idx_d:
+        idx_d = ([], [], [])
+    masks = frozen_masks_u(act_hole, act_particle, (na, nb), (va, vb),
+                           idx_s, idx_d)
+    return lambda_ad.kernel_u(t1, t2, eris, max_cycle=max_cycle,
+                              conv_tol=conv_tol, verbose=verbose,
+                              masks=masks)
