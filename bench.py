@@ -91,12 +91,30 @@ def run_config(cfg):
     return dict(flops=flops, sec=dt, device=str(jax.devices()[0]), chk=chk)
 
 
+def _device_alive(timeout=45):
+    """Probe the accelerator in a subprocess (a wedged device hangs)."""
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float((jnp.ones((64,64))@jnp.ones((64,64)))[0,0]))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         cfg = json.loads(sys.argv[2])
         out = run_config(cfg)
         print("RESULT:" + json.dumps(out), flush=True)
         return
+
+    # The dev-tunnel TPU worker restarts take tens of minutes after a crash;
+    # wait (bounded) for it instead of burning the shape ladder's timeouts.
+    deadline = time.time() + 1500
+    while not _device_alive() and time.time() < deadline:
+        time.sleep(60)
 
     ref = reference_cpu_tflops()
     for cfg in CONFIGS:
