@@ -212,7 +212,7 @@ class UCCSDDriver:
         """UCCSD(T) via the spin-orbital triples oracle (cc/gccsd_t_slow);
         the batched open-shell tile kernel is the planned fast path."""
         from pyscf_mpcc_tpu.cc import gccsd_slow, gccsd_t_slow
-        so = gccsd_slow.eris_from_scf(self._scf)
+        so = gccsd_slow.eris_from_scf(self._scf, frozen=self.frozen)
         T1, T2 = uccsd.to_spin_orbital(
             t1 if t1 is not None else self.t1,
             t2 if t2 is not None else self.t2, self.nocc)

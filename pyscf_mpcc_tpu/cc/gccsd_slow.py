@@ -78,22 +78,29 @@ def build_eris(eri_ao, mo_a, mo_b, fock_ao, nelec):
     return SpinOrbERIs(anti, fock_so, na + nb)
 
 
-def eris_from_scf(mf):
-    """Build spin-orbital ERIs directly from a converged mean-field object."""
+def eris_from_scf(mf, frozen=0):
+    """Build spin-orbital ERIs directly from a converged mean-field object.
+
+    ``frozen`` drops the lowest ``frozen`` spatial orbitals per spin from the
+    correlation space (reference get_frozen_mask semantics for the common
+    integer case), so the resulting blocks match frozen-reduced amplitudes."""
     from pyscf_mpcc_tpu import gto
+    frozen = int(frozen or 0)
     eri_ao = gto.intor_eri(mf.mol)
+    na, nb = mf.mol.nelec
+    nelec = (na - frozen, nb - frozen)
     if mf.mo_coeff.ndim == 2:  # RHF
         dm = mf.make_rdm1()
         f = mf.get_fock(dm)
-        return build_eris(eri_ao, mf.mo_coeff, mf.mo_coeff, (f, f),
-                          (mf.mol.nelec))
+        mo = mf.mo_coeff[:, frozen:]
+        return build_eris(eri_ao, mo, mo, (f, f), nelec)
     dm = mf.make_rdm1()
     j, k = mf.get_jk(dm)
     h = mf.get_hcore()
     fa = h + j[0] + j[1] - k[0]
     fb = h + j[0] + j[1] - k[1]
-    return build_eris(eri_ao, mf.mo_coeff[0], mf.mo_coeff[1], (fa, fb),
-                      mf.mol.nelec)
+    return build_eris(eri_ao, mf.mo_coeff[0][:, frozen:],
+                      mf.mo_coeff[1][:, frozen:], (fa, fb), nelec)
 
 
 def init_amps(eris):

@@ -2,10 +2,13 @@
 
 Basis sets are physical data (exponents/contraction coefficients from the
 published literature).  This module parses the standard NWChem text format.
-The library search path is configurable via the ``PYSCF_MPCC_TPU_BASIS_PATH``
-environment variable (colon-separated directories of ``*.dat`` files); by
-default it falls back to a read-only PySCF installation's ``gto/basis``
-directory if one is present on the machine.
+A curated library of published basis-set data files is vendored with the
+package under ``gto/basis_data/`` (correlation-consistent, Pople, and def2
+families plus their JK-fit/RI auxiliary sets).  Additional directories of
+NWChem ``*.dat`` files can be prepended via the ``PYSCF_MPCC_TPU_BASIS_PATH``
+environment variable (colon-separated); a PySCF installation's ``gto/basis``
+directory is also picked up automatically when importable, giving access to
+the full published catalog.
 
 Internal representation (same shape as the reference's internal format,
 pyscf/gto/basis/parse_nwchem.py): ``{element: [[l, [exp, c1, c2, ...], ...], ...]}``
@@ -20,9 +23,22 @@ from functools import lru_cache
 
 ANGULAR = {"S": 0, "P": 1, "D": 2, "F": 3, "G": 4, "H": 5, "I": 6}
 
-_DEFAULT_LIBRARY_DIRS = (
-    "/root/reference/pyscf/gto/basis",
-)
+_VENDORED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "basis_data")
+
+
+def _pyscf_basis_dir():
+    """Locate an installed PySCF's basis library, if any (optional)."""
+    try:
+        import importlib.util
+        spec = importlib.util.find_spec("pyscf")
+        if spec is not None and spec.origin:
+            d = os.path.join(os.path.dirname(spec.origin), "gto", "basis")
+            if os.path.isdir(d):
+                return d
+    except Exception:
+        pass
+    return None
 
 # common aliases -> canonical file stem (after normalization)
 _ALIASES = {
@@ -46,7 +62,10 @@ def library_dirs():
     dirs = []
     if env:
         dirs.extend(p for p in env.split(":") if p)
-    dirs.extend(_DEFAULT_LIBRARY_DIRS)
+    dirs.append(_VENDORED_DIR)
+    pyscf_dir = _pyscf_basis_dir()
+    if pyscf_dir:
+        dirs.append(pyscf_dir)
     return [d for d in dirs if os.path.isdir(d)]
 
 
@@ -101,7 +120,8 @@ def parse_nwchem(text: str, element: str):
                 cur[1].append([_tofloat(t) for t in toks])
             continue
         # header line: "<Elem> <ShellType>"
-        if len(toks) >= 2 and toks[1].upper() in ANGULAR or toks[1].upper() == "SP":
+        if len(toks) >= 2 and (toks[1].upper() in ANGULAR
+                               or toks[1].upper() == "SP"):
             if cur is not None:
                 shells.append(cur)
             if toks[0].capitalize() == elem:

@@ -331,8 +331,10 @@ class ROHF(UHF):
         pc = dmc @ S
         po = dmo @ S
         pv = dmv_proj
+        # NB: each diagonal block carries coefficient 1.0 in the symmetrized
+        # form (the reference writes 0.5*block then adds fock + fock.T).
         f = (pc.T @ fc @ pc
-             + 0.5 * (po.T @ fc @ po)
+             + po.T @ fc @ po
              + pv.T @ fc @ pv
              + po.T @ fb @ pc + pc.T @ fb @ po
              + po.T @ fa @ pv + pv.T @ fa @ po

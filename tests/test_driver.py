@@ -66,3 +66,29 @@ def test_chk_warm_restart(tmp_path):
     # warm start converges immediately (few cycles)
     e, t1, t2 = cc2.kernel(t1=cc2.t1, t2=cc2.t2)
     assert abs(e - cc.e_corr) < 1e-9
+
+
+def test_uccsd_t_frozen_matches_rccsd_t():
+    """Frozen-core UCCSD(T) through the driver (previously crashed on a
+    shape mismatch: full-space spin-orbital eris vs frozen-reduced
+    amplitudes).  Closed shell: must equal the RCCSD(T) correction."""
+    from pyscf_mpcc_tpu.cc.driver import UCCSDDriver
+    from pyscf_mpcc_tpu.scf import RHF as _RHF
+    from pyscf_mpcc_tpu import gto as _gto
+    mol = _gto.M(atom=[[8, (0, 0, 0)], [1, (0, -0.757, 0.587)],
+                       [1, (0, 0.757, 0.587)]], basis="sto-3g")
+    mf = _RHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    rcc = CCSD(mf, frozen=1)
+    rcc.conv_tol = 1e-10
+    rcc.conv_tol_normt = 1e-8
+    rcc.kernel()
+    et_r = float(rcc.ccsd_t(tile=2))
+    ucc = UCCSDDriver(mf, frozen=1)
+    ucc.conv_tol = 1e-10
+    ucc.conv_tol_normt = 1e-8
+    ucc.kernel()
+    et_u = float(ucc.ccsd_t())
+    assert abs(ucc.e_corr - rcc.e_corr) < 1e-8
+    assert abs(et_u - et_r) < 1e-9

@@ -52,3 +52,35 @@ def test_eri_symmetry():
     eri = gto.intor_eri(mol)
     assert abs(eri - eri.transpose(1, 0, 2, 3)).max() < 1e-12
     assert abs(eri - eri.transpose(2, 3, 0, 1)).max() < 1e-12
+
+
+def test_basis_library_is_vendored():
+    """The default basis library lives inside the package (no dependency on
+    an external checkout)."""
+    import os
+    from pyscf_mpcc_tpu.gto import basis as bmod
+    path = bmod.find_basis_file("cc-pvdz")
+    pkg_dir = os.path.dirname(os.path.abspath(bmod.__file__))
+    assert path.startswith(pkg_dir), path
+    # aliases and Pople sets resolve too
+    for name in ("weigend", "def2-universal-jkfit", "6-31g**", "sto-3g",
+                 "cc-pvtz-ri", "aug-cc-pvdz"):
+        p = bmod.find_basis_file(name)
+        assert os.path.exists(p)
+
+
+def test_basis_parser_single_token_line():
+    """A single-token non-numeric line must be skipped, not raise IndexError
+    (operator-precedence regression in the header check)."""
+    from pyscf_mpcc_tpu.gto import basis as bmod
+    text = """
+BASIS "ao basis" PRINT
+spherical
+H    S
+      3.42525091             0.15432897
+      0.62391373             0.53532814
+      0.16885540             0.44463454
+END
+"""
+    shells = bmod.parse_nwchem(text, "H")
+    assert len(shells) == 1 and shells[0][0] == 0

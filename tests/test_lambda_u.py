@@ -56,3 +56,97 @@ def test_ulambda_lagrangian_derivative():
     h = 2e-4
     dfd = (esolve(h) - esolve(-h)) / (2 * h)
     assert abs(dpred - dfd) < 1e-8
+
+
+def test_masked_lambda_frozen_convention_r_vs_u():
+    """Frozen lambda blocks hold their incoming (t) values in BOTH the
+    restricted and unrestricted solvers (the reference umpccsd_lambda
+    convention).  NB the relaxed multipliers themselves are NOT comparable
+    across the two solvers: lambda are duals of the chosen residual
+    parameterization, and the unrestricted problem carries independent
+    aa/bb constraints the restricted spin-adapted parameterization folds
+    into the ab channel — only the convention and derived observables
+    coincide."""
+    from pyscf_mpcc_tpu.cc import rccsd
+    from pyscf_mpcc_tpu.cc.eris import make_eris_incore
+    from pyscf_mpcc_tpu.mpcc.masks import frozen_masks
+    from pyscf_mpcc_tpu.mpcc.umpccsd import frozen_masks_u
+
+    mol = gto.M(atom=[[8, (0, 0, 0)], [1, (0, -0.757, 0.587)],
+                      [1, (0, 0.757, 0.587)]], basis="sto-3g")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-13
+    mf.conv_tol_grad = 1e-10
+    mf.kernel()
+    eri = gto.intor_eri(mol)
+    f = mf.get_fock(mf.make_rdm1())
+    nocc = 5
+    er = make_eris_incore(eri, mf.mo_coeff, f, nocc)
+    conv, e, t1, t2 = rccsd.kernel(er, conv_tol=1e-12, conv_tol_normt=1e-10,
+                                   max_cycle=150)
+    assert conv
+    nvir = t1.shape[1]
+
+    act_hole = [3, 4]
+    act_particle = [0, 1]
+    # freeze everything EXCEPT the all-active blocks (3 for singles, 15 for
+    # doubles) so a nontrivial region actually relaxes (sto-3g has nvir=2,
+    # so act_particle covers all virtuals and most blocks are empty)
+    idx_s, idx_d = [0, 1, 2], list(range(15))
+    m1, m2 = frozen_masks(act_hole, act_particle, nocc, nvir, idx_s, idx_d)
+    convl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=1e-10,
+                                     max_cycle=80, m1=m1, m2=m2)
+    assert convl
+    # frozen blocks keep the t values they were initialized to...
+    assert float(jnp.abs(jnp.where(m1, l1 - t1, 0.0)).max()) < 1e-12
+    assert float(jnp.abs(jnp.where(m2, l2 - t2, 0.0)).max()) < 1e-12
+    # ...while the relaxed (all-active) block genuinely moves
+    assert float(jnp.abs(jnp.where(m2, 0.0, l2 - t2)).max()) > 1e-4
+
+    # unrestricted solve with the equivalent masks on the same system
+    ue = uccsd.make_eris_incore(eri, mf.mo_coeff, mf.mo_coeff, f, f,
+                                nocc, nocc)
+    t1u = (t1, t1)
+    t2ab = t2
+    t2aa = t2 - t2.transpose(0, 1, 3, 2)
+    t2u = (t2aa, t2ab, t2aa)
+    masks_u = frozen_masks_u((act_hole, act_hole),
+                             (act_particle, act_particle),
+                             (nocc, nocc), (nvir, nvir),
+                             (idx_s, idx_s), (idx_d, idx_d, idx_d))
+    convu, l1u, l2u = lambda_ad.kernel_u(t1u, t2u, ue, conv_tol=1e-9,
+                                         max_cycle=120, masks=masks_u)
+    assert convu
+    # same convention in the unrestricted solver: frozen blocks hold t
+    assert float(jnp.abs(jnp.where(masks_u[0], l1u[0] - t1, 0.0)).max()) < 1e-12
+    assert float(jnp.abs(jnp.where(masks_u[3], l2u[1] - t2, 0.0)).max()) < 1e-12
+    # spin symmetry of the unrestricted solution is preserved by the freeze
+    assert float(jnp.abs(l1u[0] - l1u[1]).max()) < 1e-9
+    assert float(jnp.abs(l2u[0] - l2u[2]).max()) < 1e-9
+
+
+def test_masked_lambda_empty_mask_matches_unmasked():
+    """All-False masks must reproduce the unmasked Lambda solution."""
+    from pyscf_mpcc_tpu.cc import rccsd
+    from pyscf_mpcc_tpu.cc.eris import make_eris_incore
+
+    mol = gto.M(atom=[[8, (0, 0, 0)], [1, (0, -0.757, 0.587)],
+                      [1, (0, 0.757, 0.587)]], basis="sto-3g")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-13
+    mf.kernel()
+    eri = gto.intor_eri(mol)
+    f = mf.get_fock(mf.make_rdm1())
+    er = make_eris_incore(eri, mf.mo_coeff, f, 5)
+    conv, e, t1, t2 = rccsd.kernel(er, conv_tol=1e-12, conv_tol_normt=1e-10,
+                                   max_cycle=150)
+    assert conv
+    c0, l1_0, l2_0 = lambda_ad.kernel(t1, t2, er, conv_tol=1e-11,
+                                      max_cycle=80)
+    m1 = jnp.zeros(t1.shape, bool)
+    m2 = jnp.zeros(t2.shape, bool)
+    c1, l1_m, l2_m = lambda_ad.kernel(t1, t2, er, conv_tol=1e-11,
+                                      max_cycle=80, m1=m1, m2=m2)
+    assert c0 and c1
+    assert float(jnp.abs(l1_m - l1_0).max()) < 1e-9
+    assert float(jnp.abs(l2_m - l2_0).max()) < 1e-9

@@ -33,9 +33,37 @@ def test_rohf_triplet_o2_runs():
     mf.conv_tol = 1e-10
     e_ro = mf.kernel()
     assert mf.converged
+    # pinned converged energy (diagonal Roothaan blocks do not move the
+    # stationary point, so this anchors the SCF solution itself)
+    assert abs(e_ro - -147.63227466131738) < 1e-8
     mfu = UHF(mol)
     mfu.conv_tol = 1e-10
     e_u = mfu.kernel()
     assert mfu.converged
     # UHF is variationally below (or equal to) ROHF
     assert e_u <= e_ro + 1e-9
+
+
+def test_rohf_roothaan_mo_energy_blocks():
+    """The Roothaan effective Fock's diagonal blocks all carry fc=(fa+fb)/2
+    with coefficient 1.0 (reference get_roothaan_fock symmetrized algebra);
+    a 0.5 on the open-open block would halve the SOMO orbital energies."""
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.scf import ROHF
+    mol = gto.M(atom="O 0 0 0; O 0 0 1.21", basis="sto-3g", spin=2)
+    mf = ROHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    assert mf.converged
+    na, nb = mol.nelec
+    dm = mf.make_rdm1()
+    f = mf.get_fock(dm)
+    fc = 0.5 * (f[0] + f[1])
+    c = mf.mo_coeff[0]
+    e = mf.mo_energy[0]
+    for sl in (slice(0, nb), slice(nb, na), slice(na, None)):
+        blk = c[:, sl]
+        assert np.abs(np.diag(blk.T @ fc @ blk) - e[sl]).max() < 1e-8
+    # pinned SOMO orbital energy (doubly degenerate pi*), verified against
+    # the reference pyscf/scf/rohf.py get_roothaan_fock construction
+    assert np.allclose(e[nb:na], -0.07158887, atol=2e-6)
