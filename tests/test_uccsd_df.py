@@ -1,6 +1,6 @@
 """DF-direct UCCSD: exact-Cholesky factors must reproduce the materialized
-update to machine precision (validates the tiled ladders and the
-scan-over-occupied-tiles ovvv reconstruction for all four spin families)."""
+update to machine precision (validates the t1-dressed tiled ladders with
+quadratic compensation and the factorized ovvv/vvvo contractions)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -50,7 +50,7 @@ def test_df_update_matches_materialized(case):
     _, t1, t2 = uccsd.init_amps(ue)
     for _ in range(2):
         a1, a2 = uccsd.update_amps(t1, t2, ue)
-        b1, b2 = uccsd_df.update_amps(t1, t2, ud, ntile=2, otile=1)
+        b1, b2 = uccsd_df.update_amps(t1, t2, ud, ntile=2)
         for x, y in zip((*a1, *a2), (*b1, *b2)):
             assert float(jnp.abs(x - y).max()) < 1e-12
         t1, t2 = a1, a2
