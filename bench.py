@@ -91,6 +91,97 @@ def run_config(cfg):
     return dict(flops=flops, sec=dt, device=str(jax.devices()[0]), chk=chk)
 
 
+def run_parity(cfg):
+    """Real-molecule on-device parity (child): H2O/cc-pVTZ DF-RCCSD.
+
+    Stage 'fp32' (TPU): fp64 host SCF/DF/MO-transform, fp32 CCSD+Lambda
+    iterations on the accelerator; dumps amplitudes.
+    Stage 'fp64' (CPU x64): reference fp64 solve + fp64 Lagrangian
+    evaluation E_L = E(t32) + <l32, R(t32)>, which certifies the fp32
+    amplitudes to O(|dt|^2) — the framework's precision strategy for the
+    1e-7 Ha gate at scales where a direct fp64 solve is not affordable.
+    """
+    import jax
+    stage = cfg["stage"]
+    if stage == "fp64":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        # TPU matmuls default to single-pass bf16; the certified path needs
+        # true-fp32 (3-pass) contractions or the amplitudes stall at ~1e-4
+        jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.scf import RHF
+    from pyscf_mpcc_tpu.cc import rccsd, lambda_ad
+    from pyscf_mpcc_tpu.cc import eris as eris_mod
+
+    mol = gto.M(atom="O 0 0 0.1173; H 0 0.7572 -0.4692; H 0 -0.7572 -0.4692",
+                basis="cc-pvtz", unit="angstrom")
+    mf = RHF(mol).density_fit()
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    nocc = mol.nelectron // 2
+    fock = mf.get_fock(mf.make_rdm1())
+    B = mf.with_df.B_ao()
+    amp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".scratch", "bench_parity_amps.npz")
+    if stage == "fp32":
+        er = eris_mod.make_eris_df(B, mf.mo_coeff, fock, nocc,
+                                   dtype=jnp.float32)
+        conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-7,
+                                         conv_tol_normt=3e-6, max_cycle=60)
+        cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6,
+                                      max_cycle=60)
+        os.makedirs(os.path.dirname(amp_path), exist_ok=True)
+        np.savez(amp_path, t1=np.asarray(t1), t2=np.asarray(t2),
+                 l1=np.asarray(l1), l2=np.asarray(l2))
+        return dict(e32=float(e32), conv=bool(conv and cl),
+                    device=str(jax.devices()[0]))
+    er = eris_mod.make_eris_df(B, mf.mo_coeff, fock, nocc)
+    conv, e_ref, _, _ = rccsd.kernel(er, conv_tol=1e-11,
+                                     conv_tol_normt=1e-9)
+    z = np.load(amp_path)
+    e_lagr = float(lambda_ad.lagrangian_energy(
+        jnp.asarray(z["t1"], jnp.float64), jnp.asarray(z["t2"], jnp.float64),
+        jnp.asarray(z["l1"], jnp.float64), jnp.asarray(z["l2"], jnp.float64),
+        er))
+    return dict(e_ref=float(e_ref), e_lagr=e_lagr, conv=bool(conv))
+
+
+def run_triples(cfg):
+    """(T) throughput child: fused Pallas engine, bench shape, tile probe."""
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import __graft_entry__ as ge
+    import pyscf_mpcc_tpu.cc.ccsd_t as M
+
+    nocc, nvir, naux = cfg["nocc"], cfg["nvir"], cfg["naux"]
+    tile, nprobe = cfg["tile"], cfg["nprobe"]
+    eris = ge._synthetic_eris(nocc=nocc, nvir=nvir, naux=naux,
+                              dtype=jnp.float32, build_ovvv=False)
+    from pyscf_mpcc_tpu.cc import rccsd
+    _, t1, t2 = rccsd.init_amps(eris)
+    nvp = ((nvir + tile - 1) // tile) * tile
+    ntiles = M._tile_triples(nvp // tile).shape[0]
+    orig = M._tile_triples
+    M._tile_triples = lambda nvt: orig(nvt)[:nprobe]
+    e = M.kernel(t1, t2, eris, tile=tile, engine="fused",
+                 tiles_per_call=nprobe)          # compile + warm
+    t0 = _time.perf_counter()
+    e = M.kernel(t1, t2, eris, tile=tile, engine="fused",
+                 tiles_per_call=nprobe)
+    dt = _time.perf_counter() - t0
+    fpt = (2 * 6 * tile**3 * nocc**3 * nvp + 2 * 6 * tile**3 * nocc**4
+           + 2 * 6 * naux * nocc * tile * nvp * tile)
+    return dict(tflops=fpt * nprobe / dt / 1e12,
+                est_full_sec=dt / nprobe * ntiles, ntiles=ntiles,
+                probe_sec=dt, energy_finite=bool(np.isfinite(e)))
+
+
 def _device_alive(timeout=45):
     """Probe the accelerator in a subprocess (a wedged device hangs)."""
     code = ("import jax, jax.numpy as jnp;"
@@ -103,10 +194,28 @@ def _device_alive(timeout=45):
         return False
 
 
+def _run_child(kind, cfg, timeout):
+    """Run one measurement kind in a subprocess; None on any failure."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), kind,
+             json.dumps(cfg)],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT:"):
+                return json.loads(line[len("RESULT:"):])
+    except Exception:
+        pass
+    return None
+
+
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--child"):
         cfg = json.loads(sys.argv[2])
-        out = run_config(cfg)
+        fn = {"--child": run_config, "--child-parity": run_parity,
+              "--child-t": run_triples}[sys.argv[1]]
+        out = fn(cfg)
         print("RESULT:" + json.dumps(out), flush=True)
         return
 
@@ -118,34 +227,49 @@ def main():
 
     ref = reference_cpu_tflops()
     for cfg in CONFIGS:
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child",
-                 json.dumps(cfg)],
-                capture_output=True, text=True, timeout=cfg["timeout"],
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            for line in proc.stdout.splitlines():
-                if line.startswith("RESULT:"):
-                    r = json.loads(line[len("RESULT:"):])
-                    tflops = r["flops"] / r["sec"] / 1e12
-                    print(json.dumps({
-                        "metric": "ccsd_update_tflops",
-                        "value": round(tflops, 3),
-                        "unit": "TFLOP/s",
-                        "vs_baseline": round(tflops / ref, 2),
-                        "detail": {
-                            "sec_per_update": round(r["sec"], 4),
-                            "nocc": cfg["nocc"], "nvir": cfg["nvir"],
-                            "naux": cfg["naux"], "dtype": "float32",
-                            "device": r["device"],
-                            "reference_cpu_tflops": round(ref, 4),
-                        },
-                    }))
-                    return
-        except subprocess.TimeoutExpired:
+        r = _run_child("--child", cfg, cfg["timeout"])
+        if r is None:
             continue
-        except Exception:
-            continue
+        tflops = r["flops"] / r["sec"] / 1e12
+        detail = {
+            "sec_per_update": round(r["sec"], 4),
+            "nocc": cfg["nocc"], "nvir": cfg["nvir"],
+            "naux": cfg["naux"], "dtype": "float32",
+            "device": r["device"],
+            "reference_cpu_tflops": round(ref, 4),
+        }
+        # on-device parity: fp32 CCSD+Lambda on the chip, fp64 Lagrangian
+        # certification on host (H2O/cc-pVTZ; SURVEY section 7 risk (c))
+        p32 = _run_child("--child-parity", {"stage": "fp32"}, 500)
+        if p32:
+            p64 = _run_child("--child-parity", {"stage": "fp64"}, 500)
+            if p64:
+                detail["parity_h2o_ccpvtz"] = {
+                    "e_corr_ref_fp64": round(p64["e_ref"], 12),
+                    "abs_dE_fp32": round(abs(p32["e32"] - p64["e_ref"]), 12),
+                    "abs_dE_lagrangian_certified":
+                        round(abs(p64["e_lagr"] - p64["e_ref"]), 14),
+                    "converged": bool(p32["conv"] and p64["conv"]),
+                }
+        # (T) throughput: fused Pallas engine, probe of the tile space
+        t = _run_child("--child-t", {
+            "nocc": cfg["nocc"], "nvir": cfg["nvir"], "naux": cfg["naux"],
+            "tile": 8, "nprobe": 1024}, 500)
+        if t:
+            detail["triples_fused"] = {
+                "tflops": round(t["tflops"], 2),
+                "est_full_T_sec": round(t["est_full_sec"], 1),
+                "ntiles_total": t["ntiles"],
+                "energy_finite": t["energy_finite"],
+            }
+        print(json.dumps({
+            "metric": "ccsd_update_tflops",
+            "value": round(tflops, 3),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(tflops / ref, 2),
+            "detail": detail,
+        }))
+        return
     print(json.dumps({
         "metric": "ccsd_update_tflops", "value": 0.0, "unit": "TFLOP/s",
         "vs_baseline": 0.0,

@@ -126,6 +126,24 @@ class RCCSDDriver:
                                       tol=tol)
         return e
 
+    def ipccsd(self, nroots=3, tol=1e-7):
+        """Lowest IP-EOM-CCSD ionization energies (continuum-orbital
+        embedding of the EE Jacobian; reference eom_rccsd.py:291)."""
+        from pyscf_mpcc_tpu.cc import eom
+        eris = self.eris or self.ao2mo()
+        conv, e, vecs = eom.kernel_ip(self.t1, self.t2, eris,
+                                      nroots=nroots, tol=tol)
+        return e
+
+    def eaccsd(self, nroots=3, tol=1e-7):
+        """Lowest EA-EOM-CCSD attachment energies (reference
+        eom_rccsd.py:606)."""
+        from pyscf_mpcc_tpu.cc import eom
+        eris = self.eris or self.ao2mo()
+        conv, e, vecs = eom.kernel_ea(self.t1, self.t2, eris,
+                                      nroots=nroots, tol=tol)
+        return e
+
     def dump_chk(self, path, key="ccsd"):
         """Checkpoint the solution (reference cc/ccsd.py:1318 payload)."""
         from pyscf_mpcc_tpu.lib import chkfile
@@ -207,6 +225,22 @@ class UCCSDDriver:
     @property
     def e_tot(self):
         return self._scf.e_tot + self.e_corr
+
+    def ipccsd(self, nroots=3, tol=1e-7, spin="a"):
+        """Lowest IP-EOM-UCCSD roots for ``spin``-electron removal."""
+        from pyscf_mpcc_tpu.cc import eom
+        eris = self.eris or self.ao2mo()
+        conv, e, vecs = eom.kernel_ip_u(self.t1, self.t2, eris,
+                                        nroots=nroots, tol=tol, spin=spin)
+        return e
+
+    def eaccsd(self, nroots=3, tol=1e-7, spin="a"):
+        """Lowest EA-EOM-UCCSD roots for ``spin``-electron attachment."""
+        from pyscf_mpcc_tpu.cc import eom
+        eris = self.eris or self.ao2mo()
+        conv, e, vecs = eom.kernel_ea_u(self.t1, self.t2, eris,
+                                        nroots=nroots, tol=tol, spin=spin)
+        return e
 
     def ccsd_t(self, t1=None, t2=None):
         """UCCSD(T) via the spin-orbital triples oracle (cc/gccsd_t_slow);

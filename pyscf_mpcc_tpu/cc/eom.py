@@ -140,3 +140,343 @@ def kernel_ee_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
     conv, e, vecs = davidson(matvec, x0, diag, nroots=nroots, tol=tol,
                              max_cycle=max_cycle, verbose=verbose)
     return conv, e, vecs
+
+
+# ---------------------------------------------------------------------------
+# IP / EA via the continuum-orbital embedding
+# ---------------------------------------------------------------------------
+#
+# Append one *zero-interaction* orbital (all integrals zero, orbital energy
+# zero).  The CCSD fixed point is untouched (no amplitude can couple to it),
+# and the EE-EOM Jacobian restricted to the fake-orbital sector IS the
+# IP-EOM (fake virtual X: excitations i->X remove an electron from the
+# interacting system) or EA-EOM (fake occupied Y: excitations Y->a attach
+# one) similarity-transformed Hamiltonian, exactly.  So the N+-1 sigma
+# routines reuse the same validated jvp machinery as EE — no hand-derived
+# Hbar intermediates, fully jitted.  Role of the reference's fast
+# ipccsd_matvec/eaccsd_matvec (pyscf/cc/eom_rccsd.py:291,606).
+
+_RERIS_AXES = {
+    "fock": "pp", "mo_energy": "p",
+    "oooo": "oooo", "ovoo": "ovoo", "ovov": "ovov", "oovv": "oovv",
+    "ovvo": "ovvo", "ovvv": "ovvv", "vvvv": "vvvv",
+    "Lvv": "Lvv", "Lov": "Lov", "Loo": "Loo",
+}
+
+
+def _pad_axes(x, spec, which):
+    """Zero-pad every axis whose spec character is in ``which``."""
+    cfg = [(0, 1) if c in which else (0, 0) for c in spec]
+    return jnp.pad(x, cfg)
+
+
+def _augment_virtual(t1, t2, eris):
+    """(t1, t2, eris) with one zero-interaction virtual X appended."""
+    nocc = t1.shape[0]
+    fields = {}
+    for name, spec in _RERIS_AXES.items():
+        x = getattr(eris, name)
+        if x is None:
+            fields[name] = None
+        elif spec == "pp":
+            fields[name] = jnp.pad(x, [(0, 1), (0, 1)])
+        elif spec == "p":
+            fields[name] = jnp.pad(x, [(0, 1)])
+        else:
+            fields[name] = _pad_axes(x, spec, "v")
+    er = type(eris)(**fields)
+    return (jnp.pad(t1, [(0, 0), (0, 1)]),
+            jnp.pad(t2, [(0, 0), (0, 0), (0, 1), (0, 1)]), er)
+
+
+def _augment_occupied(t1, t2, eris):
+    """(t1, t2, eris) with one zero-interaction occupied Y appended.
+
+    Y sits at the END of the occupied range (index nocc); the virtual
+    block shifts by one in fock/mo_energy, which are rebuilt blockwise."""
+    nocc = t1.shape[0]
+    fields = {}
+    for name, spec in _RERIS_AXES.items():
+        x = getattr(eris, name)
+        if x is None:
+            fields[name] = None
+        elif spec == "pp":
+            nmo = x.shape[0]
+            f = jnp.zeros((nmo + 1, nmo + 1), x.dtype)
+            f = f.at[:nocc, :nocc].set(x[:nocc, :nocc])
+            f = f.at[:nocc, nocc + 1:].set(x[:nocc, nocc:])
+            f = f.at[nocc + 1:, :nocc].set(x[nocc:, :nocc])
+            f = f.at[nocc + 1:, nocc + 1:].set(x[nocc:, nocc:])
+            fields[name] = f
+        elif spec == "p":
+            fields[name] = jnp.concatenate(
+                [x[:nocc], jnp.zeros((1,), x.dtype), x[nocc:]])
+        else:
+            fields[name] = _pad_axes(x, spec, "o")
+    er = type(eris)(**fields)
+    return (jnp.pad(t1, [(0, 1), (0, 0)]),
+            jnp.pad(t2, [(0, 1), (0, 1), (0, 0), (0, 0)]), er)
+
+
+def _guesses(diag, n1, nroots):
+    """Unit-vector guesses: the n1 leading-block entries sorted by diag,
+    then (if more roots requested than the 1h/1p block holds) the lowest
+    remaining double-excitation diagonals."""
+    order1 = np.argsort(diag[:n1])
+    idx = list(order1[:min(nroots, n1)])
+    if len(idx) < nroots:
+        order2 = n1 + np.argsort(diag[n1:])
+        idx += list(order2[:nroots - len(idx)])
+    x0 = []
+    for k in idx:
+        v = np.zeros(diag.size)
+        v[k] = 1.0
+        x0.append(v)
+    return x0
+
+
+def kernel_ip(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
+              ntile=1):
+    """Lowest IP-EOM-CCSD roots (ionization energies, positive).
+
+    Vector layout: r1[i] (1h) + r2[i,j,a] (2h1p, amplitude of the
+    symmetric pair {ij->aX, ji->Xa}).  Returns (conv, e_ip, vectors)."""
+    nocc, nvir = t1.shape
+    t1p, t2p, erp = _augment_virtual(t1, t2, eris)
+    X = nvir
+    eo = np.asarray(eris.mo_energy[:nocc])
+    ev = np.asarray(eris.mo_energy[nocc:])
+    diag = np.concatenate([
+        -eo,
+        (-eo[:, None, None] - eo[None, :, None] + ev[None, None, :]).ravel(),
+    ])
+    n1 = nocc
+
+    def matvec(x):
+        r1 = jnp.asarray(x[:n1])
+        r2 = jnp.asarray(x[n1:].reshape(nocc, nocc, nvir))
+        r1p = jnp.zeros_like(t1p).at[:, X].set(r1)
+        r2p = jnp.zeros_like(t2p).at[:, :, :nvir, X].set(r2)
+        r2p = r2p + r2p.transpose(1, 0, 3, 2)
+        s1p, s2p = ee_sigma(t1p, t2p, erp, r1p, r2p, ntile=ntile)
+        s2p = 0.5 * (s2p + s2p.transpose(1, 0, 3, 2))
+        return np.concatenate([np.asarray(s1p[:, X]).ravel(),
+                               np.asarray(s2p[:, :, :nvir, X]).ravel()])
+
+    x0 = _guesses(diag, n1, nroots)
+    return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
+                    max_cycle=max_cycle, verbose=verbose)
+
+
+def kernel_ea(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
+              ntile=1):
+    """Lowest EA-EOM-CCSD roots (electron attachment energies).
+
+    Vector layout: r1[a] (1p) + r2[j,a,b] (2p1h, pair {Yj->ab, jY->ba})."""
+    nocc, nvir = t1.shape
+    t1p, t2p, erp = _augment_occupied(t1, t2, eris)
+    Y = nocc
+    eo = np.asarray(eris.mo_energy[:nocc])
+    ev = np.asarray(eris.mo_energy[nocc:])
+    diag = np.concatenate([
+        ev,
+        (-eo[:, None, None] + ev[None, :, None] + ev[None, None, :]).ravel(),
+    ])
+    n1 = nvir
+
+    def matvec(x):
+        r1 = jnp.asarray(x[:n1])
+        r2 = jnp.asarray(x[n1:].reshape(nocc, nvir, nvir))
+        r1p = jnp.zeros_like(t1p).at[Y, :].set(r1)
+        r2p = jnp.zeros_like(t2p).at[Y, :nocc, :, :].set(r2)
+        r2p = r2p + r2p.transpose(1, 0, 3, 2)
+        s1p, s2p = ee_sigma(t1p, t2p, erp, r1p, r2p, ntile=ntile)
+        s2p = 0.5 * (s2p + s2p.transpose(1, 0, 3, 2))
+        return np.concatenate([np.asarray(s1p[Y, :]).ravel(),
+                               np.asarray(s2p[Y, :nocc, :, :]).ravel()])
+
+    x0 = _guesses(diag, n1, nroots)
+    return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
+                    max_cycle=max_cycle, verbose=verbose)
+
+
+# ---------------------------------------------------------------------------
+# unrestricted IP / EA (same embedding, per ionized/attached spin channel)
+# ---------------------------------------------------------------------------
+
+_UERIS_AXES = {
+    "focka": "pp", "fockb": "..",
+    "oooo": "oooo", "ovoo": "ovoo", "ovov": "ovov", "oovv": "oovv",
+    "ovvo": "ovvo",
+    "OOOO": "....", "OVOO": "....", "OVOV": "....", "OOVV": "....",
+    "OVVO": "....",
+    "ooOO": "oo..", "ovOO": "ov..", "OVoo": "..oo", "ovOV": "ov..",
+    "ooVV": "oo..", "OOvv": "..vv", "ovVO": "ov..", "OVvo": "..vo",
+    "ovvv": "ovvv", "OVVV": "....", "ovVV": "ov..", "OVvv": "..vv",
+    "vvvv": "vvvv", "VVVV": "....", "vvVV": "vv..",
+    "Lov_a": ".ov", "Lvv_a": ".vv", "Lov_b": "...", "Lvv_b": "...",
+}
+
+
+def _spin_swap_u(t1, t2, eris):
+    """Exchange the roles of alpha and beta everywhere."""
+    from pyscf_mpcc_tpu.cc.uccsd import UERIs
+    sw = lambda x: None if x is None else x
+    er = UERIs(
+        focka=eris.fockb, fockb=eris.focka,
+        nocca=eris.noccb, noccb=eris.nocca,
+        oooo=eris.OOOO, ovoo=eris.OVOO, ovov=eris.OVOV, oovv=eris.OOVV,
+        ovvo=eris.OVVO,
+        OOOO=eris.oooo, OVOO=eris.ovoo, OVOV=eris.ovov, OOVV=eris.oovv,
+        OVVO=eris.ovvo,
+        ooOO=eris.ooOO.transpose(2, 3, 0, 1),
+        ovOO=eris.OVoo, OVoo=eris.ovOO,
+        ovOV=eris.ovOV.transpose(2, 3, 0, 1),
+        ooVV=eris.OOvv, OOvv=eris.ooVV,
+        ovVO=eris.OVvo, OVvo=eris.ovVO,
+        ovvv=sw(eris.OVVV), OVVV=sw(eris.ovvv),
+        ovVV=sw(eris.OVvv), OVvv=sw(eris.ovVV),
+        vvvv=sw(eris.VVVV), VVVV=sw(eris.vvvv),
+        vvVV=None if eris.vvVV is None else eris.vvVV.transpose(2, 3, 0, 1),
+        Lov_a=sw(eris.Lov_b), Lvv_a=sw(eris.Lvv_b),
+        Lov_b=sw(eris.Lov_a), Lvv_b=sw(eris.Lvv_a),
+    )
+    (t1a, t1b), (t2aa, t2ab, t2bb) = t1, t2
+    return (t1b, t1a), (t2bb, t2ab.transpose(1, 0, 3, 2), t2aa), er
+
+
+def _augment_u(t1, t2, eris, which):
+    """UERIs (+amplitudes) with one zero-interaction ALPHA orbital appended
+    (which='v': virtual, for IP; which='o': occupied, for EA)."""
+    nocca = t1[0].shape[0]
+    fields = {"nocca": eris.nocca + (1 if which == "o" else 0),
+              "noccb": eris.noccb}
+    for name, spec in _UERIS_AXES.items():
+        x = getattr(eris, name)
+        if x is None:
+            fields[name] = None
+        elif spec == "pp":
+            if which == "v":
+                fields[name] = jnp.pad(x, [(0, 1), (0, 1)])
+            else:
+                nmo = x.shape[0]
+                f = jnp.zeros((nmo + 1, nmo + 1), x.dtype)
+                f = f.at[:nocca, :nocca].set(x[:nocca, :nocca])
+                f = f.at[:nocca, nocca + 1:].set(x[:nocca, nocca:])
+                f = f.at[nocca + 1:, :nocca].set(x[nocca:, :nocca])
+                f = f.at[nocca + 1:, nocca + 1:].set(x[nocca:, nocca:])
+                fields[name] = f
+        else:
+            fields[name] = _pad_axes(x, spec, which)
+    er = type(eris)(**fields)
+    (t1a, t1b), (t2aa, t2ab, t2bb) = t1, t2
+    if which == "v":
+        t1a = jnp.pad(t1a, [(0, 0), (0, 1)])
+        t2aa = jnp.pad(t2aa, [(0, 0), (0, 0), (0, 1), (0, 1)])
+        t2ab = jnp.pad(t2ab, [(0, 0), (0, 0), (0, 1), (0, 0)])
+    else:
+        t1a = jnp.pad(t1a, [(0, 1), (0, 0)])
+        t2aa = jnp.pad(t2aa, [(0, 1), (0, 1), (0, 0), (0, 0)])
+        t2ab = jnp.pad(t2ab, [(0, 1), (0, 0), (0, 0), (0, 0)])
+    return (t1a, t1b), (t2aa, t2ab, t2bb), er
+
+
+def _asym4(z):
+    return 0.5 * (z - z.transpose(1, 0, 2, 3) - z.transpose(0, 1, 3, 2)
+                  + z.transpose(1, 0, 3, 2))
+
+
+def kernel_ip_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
+                verbose=0, spin="a"):
+    """Lowest IP-EOM-UCCSD roots for removal of a ``spin`` electron.
+
+    Vector: r1[i] + r2aa[i,j,a] (same-spin 2h1p, antisym coords) +
+    r2ab[i,J,B] (opposite-spin 2h1p)."""
+    if spin == "b":
+        t1, t2, eris_u = _spin_swap_u(t1, t2, eris_u)
+    t1p, t2p, erp = _augment_u(t1, t2, eris_u, "v")
+    na = t1[0].shape[0]
+    nb = t1[1].shape[0]
+    nva = t1[0].shape[1]
+    nvb = t1[1].shape[1]
+    X = nva
+    ea, eb = (np.asarray(x) for x in eris_u.mo_energy)
+    eoa, eva = ea[:na], ea[na:]
+    eob, evb = eb[:nb], eb[nb:]
+    diag = np.concatenate([
+        -eoa,
+        (-eoa[:, None, None] - eoa[None, :, None]
+         + eva[None, None, :]).ravel(),
+        (-eoa[:, None, None] - eob[None, :, None]
+         + evb[None, None, :]).ravel(),
+    ])
+    naa = na * na * nva
+
+    def matvec(x):
+        r1 = jnp.asarray(x[:na])
+        raa = jnp.asarray(x[na:na + naa].reshape(na, na, nva))
+        rab = jnp.asarray(x[na + naa:].reshape(na, nb, nvb))
+        r1ap = jnp.zeros_like(t1p[0]).at[:, X].set(r1)
+        raap = _asym4(jnp.zeros_like(t2p[0]).at[:, :, :nva, X].set(raa))
+        rabp = jnp.zeros_like(t2p[1]).at[:, :, X, :].set(rab)
+        z1b = jnp.zeros_like(t1p[1])
+        zbb = jnp.zeros_like(t2p[2])
+        s1, s2 = ee_sigma_u(t1p, t2p, erp, (r1ap, z1b),
+                            (raap, rabp, zbb))
+        # sigma of an antisymmetric tangent is antisymmetric; the slot
+        # values ARE the coordinates
+        return np.concatenate([
+            np.asarray(s1[0][:, X]).ravel(),
+            np.asarray(s2[0][:, :, :nva, X]).ravel(),
+            np.asarray(s2[1][:, :, X, :]).ravel()])
+
+    x0 = _guesses(diag, na, nroots)
+    return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
+                    max_cycle=max_cycle, verbose=verbose)
+
+
+def kernel_ea_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
+                verbose=0, spin="a"):
+    """Lowest EA-EOM-UCCSD roots for attachment of a ``spin`` electron.
+
+    Vector: r1[a] + r2aa[j,a,b] (same-spin 2p1h, antisym coords) +
+    r2ab[J,a,B] (opposite-spin 2p1h)."""
+    if spin == "b":
+        t1, t2, eris_u = _spin_swap_u(t1, t2, eris_u)
+    t1p, t2p, erp = _augment_u(t1, t2, eris_u, "o")
+    na = t1[0].shape[0]
+    nb = t1[1].shape[0]
+    nva = t1[0].shape[1]
+    nvb = t1[1].shape[1]
+    Y = na
+    ea, eb = (np.asarray(x) for x in eris_u.mo_energy)
+    eoa, eva = ea[:na], ea[na:]
+    eob, evb = eb[:nb], eb[nb:]
+    diag = np.concatenate([
+        eva,
+        (-eoa[:, None, None] + eva[None, :, None]
+         + eva[None, None, :]).ravel(),
+        (-eob[:, None, None] + eva[None, :, None]
+         + evb[None, None, :]).ravel(),
+    ])
+    naa = na * nva * nva
+
+    def matvec(x):
+        r1 = jnp.asarray(x[:nva])
+        raa = jnp.asarray(x[nva:nva + naa].reshape(na, nva, nva))
+        rab = jnp.asarray(x[nva + naa:].reshape(nb, nva, nvb))
+        r1ap = jnp.zeros_like(t1p[0]).at[Y, :].set(r1)
+        raap = _asym4(jnp.zeros_like(t2p[0]).at[Y, :na, :, :].set(raa))
+        rabp = jnp.zeros_like(t2p[1]).at[Y, :, :, :].set(rab)
+        z1b = jnp.zeros_like(t1p[1])
+        zbb = jnp.zeros_like(t2p[2])
+        s1, s2 = ee_sigma_u(t1p, t2p, erp, (r1ap, z1b),
+                            (raap, rabp, zbb))
+        return np.concatenate([
+            np.asarray(s1[0][Y, :]).ravel(),
+            np.asarray(s2[0][Y, :na, :, :]).ravel(),
+            np.asarray(s2[1][Y, :, :, :]).ravel()])
+
+    x0 = _guesses(diag, nva, nroots)
+    return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
+                    max_cycle=max_cycle, verbose=verbose)

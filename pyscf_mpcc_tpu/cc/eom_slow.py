@@ -67,12 +67,17 @@ def _hbar(h_so, g_so, nelec, nso, t1, t2, nocc):
     return f, emT @ H @ eT
 
 
-def ipccsd(h_so, g_so, t1, t2, nocc, nso, nroots=3, e_ccsd_tot=0.0):
+def ipccsd(h_so, g_so, t1, t2, nocc, nso, nroots=3, e_ccsd_tot=0.0,
+           nalpha=None, spins=None):
     """Lowest IP-EOM-CCSD roots (energies relative to the CC ground state).
 
     h_so/g_so: one-electron / antisymmetrized two-electron spin-orbital
     integrals; t1/t2: converged spin-orbital amplitudes; nocc: N electrons.
-    """
+
+    nalpha + spins: optionally restrict the {1h, 2h1p} basis to
+    determinants with that many alpha electrons (one Sz sector; Hbar is
+    Sz-block-diagonal).  spins: 0/1 per spin orbital, e.g.
+    gccsd_slow eris_from_scf(...).spins."""
     f, Hb = _hbar(h_so, g_so, nocc - 1, nso, t1, t2, nocc)
     hf = tuple(range(nocc))
     # basis: 1h and 2h1p determinants
@@ -81,6 +86,8 @@ def ipccsd(h_so, g_so, t1, t2, nocc, nso, nroots=3, e_ccsd_tot=0.0):
         nh = len([p for p in hf if p not in d])
         npart = len([p for p in d if p >= nocc])
         if (nh, npart) in ((1, 0), (2, 1)):
+            if nalpha is not None and _nalpha(d, spins) != nalpha:
+                continue
             basis.append(f.index[d])
     basis = np.asarray(basis)
     sub = Hb[np.ix_(basis, basis)]
@@ -89,7 +96,8 @@ def ipccsd(h_so, g_so, t1, t2, nocc, nso, nroots=3, e_ccsd_tot=0.0):
     return w[:nroots] - e_ccsd_tot
 
 
-def eaccsd(h_so, g_so, t1, t2, nocc, nso, nroots=3, e_ccsd_tot=0.0):
+def eaccsd(h_so, g_so, t1, t2, nocc, nso, nroots=3, e_ccsd_tot=0.0,
+           nalpha=None, spins=None):
     """Lowest EA-EOM-CCSD roots (attached-state energies minus E_CC)."""
     f, Hb = _hbar(h_so, g_so, nocc + 1, nso, t1, t2, nocc)
     hf = tuple(range(nocc))
@@ -98,12 +106,18 @@ def eaccsd(h_so, g_so, t1, t2, nocc, nso, nroots=3, e_ccsd_tot=0.0):
         nh = len([p for p in hf if p not in d])
         npart = len([p for p in d if p >= nocc])
         if (nh, npart) in ((0, 1), (1, 2)):
+            if nalpha is not None and _nalpha(d, spins) != nalpha:
+                continue
             basis.append(f.index[d])
     basis = np.asarray(basis)
     sub = Hb[np.ix_(basis, basis)]
     w = np.linalg.eigvals(sub)
     w = np.sort(w.real)
     return w[:nroots] - e_ccsd_tot
+
+
+def _nalpha(det, spins):
+    return sum(1 for p in det if spins[p] == 0)
 
 
 def h_so_from_eris(eris):

@@ -22,12 +22,13 @@ from pyscf_mpcc_tpu.lib import logger as lg
 class SpinOrbERIs:
     """Antisymmetrized spin-orbital integrals <pq||rs> + spin-orbital fock."""
 
-    def __init__(self, oovv_full, fock, nocc):
+    def __init__(self, oovv_full, fock, nocc, spins=None):
         self.ints = oovv_full  # <pq||rs>, (nso,nso,nso,nso)
         self.fock = fock
         self.nocc = nocc
         self.nso = fock.shape[0]
         self.mo_energy = np.diag(fock).copy()
+        self.spins = spins     # 0/1 per spin orbital (alpha/beta)
 
     def block(self, key):
         n, o, v = self.nso, slice(0, self.nocc), slice(self.nocc, self.nso)
@@ -75,7 +76,7 @@ def build_eris(eri_ao, mo_a, mo_b, fock_ao, nelec):
         for q in range(nso):
             if spins[p] == spins[q]:
                 fock_so[p, q] = C[:, p] @ focks[spins[p]] @ C[:, q]
-    return SpinOrbERIs(anti, fock_so, na + nb)
+    return SpinOrbERIs(anti, fock_so, na + nb, spins=spins)
 
 
 def eris_from_scf(mf, frozen=0):

@@ -71,6 +71,10 @@ def _ladder_df(tau, t1, eris, ntile):
     Lvv, Lov = eris.Lvv, eris.Lov
     Ld = Lvv - jnp.einsum("ka,Lkc->Lac", t1, Lov)
     naux, nvir = Ld.shape[0], Ld.shape[1]
+    if nvir % ntile:
+        raise ValueError(
+            f"ntile={ntile} must divide nvir={nvir} (the reshape below "
+            "silently truncates otherwise); pick a divisor or pad")
     ta = nvir // ntile
     Ld_t = Ld.reshape(naux, ntile, ta, nvir).transpose(1, 0, 2, 3)
 

@@ -13,11 +13,16 @@ import numpy as np
 
 
 def davidson(matvec, x0, diag, nroots=1, max_cycle=80, max_space=None,
-             tol=1e-8, hermitian=False, verbose=0):
+             tol=1e-8, hermitian=False, verbose=0, pick="lowest"):
     """Lowest-``nroots`` eigenpairs of the operator defined by ``matvec``.
 
     matvec: callable taking / returning 1-D numpy arrays.
     x0: list of starting vectors.  diag: operator diagonal (preconditioner).
+    pick: 'lowest' selects the nroots lowest Ritz values each cycle;
+    'follow' selects by maximum overlap with the previous cycle's Ritz
+    vectors (the reference's _sort_by_similarity root tracking,
+    lib/linalg_helper.py:1447 — prevents root flipping on near-degenerate
+    EOM states).
     Returns (converged list, eigenvalues, eigenvectors).
     """
     n = diag.size
@@ -26,6 +31,7 @@ def davidson(matvec, x0, diag, nroots=1, max_cycle=80, max_space=None,
     V = []           # orthonormal subspace
     AV = []
     xs = [np.asarray(x, dtype=float).ravel() for x in x0]
+    prev_vecs = None
 
     def orthonormalize(v, basis):
         for b in basis:
@@ -58,6 +64,21 @@ def davidson(matvec, x0, diag, nroots=1, max_cycle=80, max_space=None,
             w = w[order].real
             s = s[:, order].real
         nr = min(nroots, m)
+        if pick == "follow" and prev_vecs is not None:
+            # overlap of every Ritz vector with the tracked roots; greedily
+            # assign each tracked root its best-matching new Ritz pair
+            ritz = np.stack([sum(s[i, k] * V[i] for i in range(m))
+                             for k in range(m)])
+            ovlp = np.abs(ritz @ np.stack(prev_vecs).T)   # (m, nr_prev)
+            chosen = []
+            for r in range(min(nr, ovlp.shape[1])):
+                cand = np.argsort(-ovlp[:, r])
+                k = next(k for k in cand if k not in chosen)
+                chosen.append(int(k))
+            chosen += [k for k in range(m) if k not in chosen]
+            idx = np.asarray(chosen[:m])
+            w = w[idx]
+            s = s[:, idx]
         all_conv = True
         new_dirs = []
         for r in range(nr):
@@ -77,6 +98,8 @@ def davidson(matvec, x0, diag, nroots=1, max_cycle=80, max_space=None,
         if verbose:
             print(f"davidson cycle {it}: space {m}  "
                   f"e = {e[:nr]}  conv = {conv[:nr]}")
+        prev_vecs = [vecs[r] / np.linalg.norm(vecs[r]) for r in range(nr)
+                     if vecs[r] is not None]
         if all_conv and m >= nroots:
             break
         if m + len(new_dirs) > max_space:
@@ -88,9 +111,20 @@ def davidson(matvec, x0, diag, nroots=1, max_cycle=80, max_space=None,
                     basis.append(v)
             V = basis
             AV = [np.asarray(matvec(v)).ravel() for v in V]
+        added = 0
         for d in new_dirs:
-            v, nrm = orthonormalize(d, V)
-            if nrm > 1e-4:
+            dn = np.linalg.norm(d)
+            if dn == 0.0:
+                continue
+            v, nrm = orthonormalize(d / dn, V)
+            # accept any direction with a numerically meaningful new
+            # component (1e-4 stalled near convergence: the preconditioned
+            # residual shrinks with the residual itself)
+            if nrm > 1e-11:
                 V.append(v)
                 AV.append(np.asarray(matvec(v)).ravel())
+                added += 1
+        if added == 0:
+            # stagnation: no enrichment possible at working precision
+            break
     return conv, e[:nroots], vecs[:nroots]

@@ -47,3 +47,86 @@ def test_ea_sane_for_two_electrons():
     # bounded by the virtual orbital energies scale
     assert eas[0] > 0.0
     assert eas[0] < 1.0
+
+
+def _h2o_setup():
+    mol = gto.M(atom=[[8, (0, 0, 0)], [1, (0, -0.757, 0.587)],
+                      [1, (0, 0.757, 0.587)]], basis="sto-3g")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-13
+    mf.conv_tol_grad = 1e-10
+    mf.kernel()
+    so = gccsd_slow.eris_from_scf(mf)
+    e, t1, t2, conv = gccsd_slow.kernel(so, conv_tol=1e-12,
+                                        conv_tol_normt=1e-11, max_cycle=150)
+    assert conv
+    h_so = eom_slow.h_so_from_eris(so)
+    e_cc_elec = float(mf.e_tot - mol.energy_nuc() + e)
+    return mol, mf, so, h_so, t1, t2, e_cc_elec
+
+
+def test_fast_ip_ea_match_oracle_h2o():
+    """The continuum-orbital IP/EA sigma (jvp of the augmented EE Jacobian)
+    must reproduce the exact-diagonalization Hbar projection."""
+    import jax.numpy as jnp
+    from pyscf_mpcc_tpu.cc import eom, rccsd
+    from pyscf_mpcc_tpu.cc import eris as eris_mod
+
+    mol, mf, so, h_so, T1, T2, e_cc = _h2o_setup()
+    ips_ref = eom_slow.ipccsd(h_so, so.ints, T1, T2, so.nocc, so.nso,
+                              nroots=6, e_ccsd_tot=e_cc)
+    eas_ref = eom_slow.eaccsd(h_so, so.ints, T1, T2, so.nocc, so.nso,
+                              nroots=4, e_ccsd_tot=e_cc)
+    eri = gto.intor_eri(mol)
+    f = mf.get_fock(mf.make_rdm1())
+    er = eris_mod.make_eris_incore(eri, mf.mo_coeff, f, 5)
+    conv, _, t1, t2 = rccsd.kernel(er, conv_tol=1e-12, conv_tol_normt=1e-10)
+    assert conv
+    cv, ips, _ = eom.kernel_ip(t1, t2, er, nroots=3, tol=1e-9)
+    cve, eas, _ = eom.kernel_ea(t1, t2, er, nroots=2, tol=1e-9)
+    assert all(cv) and all(cve)
+    uref_ip = np.unique(np.round(ips_ref, 10))[:3]
+    uref_ea = np.unique(np.round(eas_ref, 10))[:2]
+    assert np.abs(ips - uref_ip).max() < 1e-8
+    assert np.abs(eas - uref_ea).max() < 1e-8
+
+
+def test_fast_ip_ea_unrestricted_match_oracle():
+    """Unrestricted IP/EA on an open-shell radical vs the exact oracle,
+    per Sz sector (Hbar is Sz-block-diagonal; the oracle's unfiltered
+    spectrum also contains spin-flip sectors no 1h-removal ansatz spans)."""
+    from pyscf_mpcc_tpu.cc import eom, uccsd
+    from pyscf_mpcc_tpu.scf import UHF
+
+    mol = gto.M(atom="O 0 0 0; H 0 0 0.97", basis="sto-3g", spin=1)
+    mf = UHF(mol)
+    mf.conv_tol = 1e-13
+    mf.conv_tol_grad = 1e-10
+    mf.kernel()
+    so = gccsd_slow.eris_from_scf(mf)
+    e, T1, T2, conv = gccsd_slow.kernel(so, conv_tol=1e-12,
+                                        conv_tol_normt=1e-11, max_cycle=200)
+    assert conv
+    h_so = eom_slow.h_so_from_eris(so)
+    e_cc = float(mf.e_tot - mol.energy_nuc() + e)
+    na, nb = mol.nelec
+
+    ue = uccsd.eris_from_scf(mf)
+    cu, _, t1, t2 = uccsd.kernel(ue, conv_tol=1e-12, conv_tol_normt=1e-10,
+                                 max_cycle=200)
+    assert cu
+
+    for spin, nalpha_ip, nalpha_ea in (("a", na - 1, na + 1),
+                                       ("b", na, na)):
+        ips_ref = eom_slow.ipccsd(h_so, so.ints, T1, T2, so.nocc, so.nso,
+                                  nroots=2, e_ccsd_tot=e_cc,
+                                  nalpha=nalpha_ip, spins=so.spins)
+        eas_ref = eom_slow.eaccsd(h_so, so.ints, T1, T2, so.nocc, so.nso,
+                                  nroots=2, e_ccsd_tot=e_cc,
+                                  nalpha=nalpha_ea, spins=so.spins)
+        _, ips, _ = eom.kernel_ip_u(t1, t2, ue, nroots=2, tol=1e-9,
+                                    spin=spin)
+        _, eas, _ = eom.kernel_ea_u(t1, t2, ue, nroots=2, tol=1e-9,
+                                    spin=spin)
+        assert np.abs(ips - ips_ref[:2]).max() < 1e-8, (spin, ips, ips_ref)
+        assert np.abs(eas - eas_ref[:2]).max() < 1e-8, (spin, eas, eas_ref)
