@@ -62,12 +62,19 @@ def update_amps_masked(t1, t2, eris, masks, level_shift=0.0):
 
 def kernel(eris, act_hole, act_particle, idx_s, idx_d, t1=None, t2=None,
            max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6, diis_space=6,
-           verbose=0, level_shift=0.0):
+           verbose=0, level_shift=0.0, oo_mp2=False,
+           oomp2_variant="standard"):
     """UMPCCSD iteration.  Returns (converged, e_corr, t1, t2).
 
     idx_s/idx_d may be given per the reference API: idx_s=(list_a, list_b),
     idx_d=(list_aa, list_ab, list_bb); passing plain lists applies them to
     every spin channel.
+
+    oo_mp2=True replaces the CCSD update with the selected OO-MP2
+    low-level operator (mpcc/oomp2.py; reference umpccsd.py:76-92) — the
+    bath-relaxation step of the fragmented workflow, where the listed
+    blocks are frozen at their incoming (fragment-CC) values and
+    everything else relaxes at MP2-like cost structure.
     """
     from pyscf_mpcc_tpu.lib.diis import DIIS
     from pyscf_mpcc_tpu.lib import logger as lg
@@ -85,6 +92,31 @@ def kernel(eris, act_hole, act_particle, idx_s, idx_d, t1=None, t2=None,
         idx_d = ([], [], [])
     masks = frozen_masks_u(act_hole, act_particle, (na, nb), (va, vb),
                            idx_s, idx_d)
+    if oo_mp2:
+        from pyscf_mpcc_tpu.mpcc.oomp2 import update_amps_oomp2
+        from pyscf_mpcc_tpu.mpcc.masks import doubles_blocks
+        (aha, ahb), (apa, apb) = act_hole, act_particle
+        act_m = (jnp.asarray(doubles_blocks(aha, apa, na, va)[15]),
+                 jnp.asarray(doubles_blocks(aha, apa, na, va,
+                                            ahb, apb, nb, vb)[15]),
+                 jnp.asarray(doubles_blocks(ahb, apb, nb, vb)[15]))
+
+        def base_update(t1_, t2_, eris_, ls):
+            return update_amps_oomp2(t1_, t2_, eris_,
+                                     variant=oomp2_variant,
+                                     act_masks=act_m, level_shift=ls)
+    else:
+        base_update = uccsd.update_amps
+
+    def masked_update(t1_, t2_, eris_, mks, ls):
+        m1a, m1b, m2aa, m2ab, m2bb = mks
+        (u1a, u1b), (u2aa, u2ab, u2bb) = base_update(t1_, t2_, eris_, ls)
+        u1a = jnp.where(m1a, t1_[0], u1a)
+        u1b = jnp.where(m1b, t1_[1], u1b)
+        u2aa = jnp.where(m2aa, t2_[0], u2aa)
+        u2ab = jnp.where(m2ab, t2_[1], u2ab)
+        u2bb = jnp.where(m2bb, t2_[2], u2bb)
+        return (u1a, u1b), (u2aa, u2ab, u2bb)
 
     emp2, t1_0, t2_0 = uccsd.init_amps(eris)
     if t1 is None:
@@ -98,7 +130,7 @@ def kernel(eris, act_hole, act_particle, idx_s, idx_d, t1=None, t2=None,
     converged = False
     e = e_last
     for it in range(max_cycle):
-        t1new, t2new = update_amps_masked(t1, t2, eris, masks, level_shift)
+        t1new, t2new = masked_update(t1, t2, eris, masks, level_shift)
         normt = sum(float(jnp.linalg.norm(a - b))
                     for a, b in zip((*t1new, *t2new), (*t1, *t2)))
         vec = np.asarray(uccsd.amplitudes_to_vector(t1new, t2new))
