@@ -62,13 +62,21 @@ class FCI:
         q1, q2 = diff2
         return sign * g[p1, p2, q1, q2]
 
-    def hamiltonian(self):
+    def hamiltonian(self, hermitian=True):
+        """Determinant-space H.  hermitian=False evaluates both triangles
+        independently — required for similarity-transformed (t1-dressed)
+        integrals, which are not hermitian."""
         n = len(self.dets)
         H = np.zeros((n, n))
-        for i, d1 in enumerate(self.dets):
-            for j in range(i + 1):
-                v = self.hmat_element(d1, self.dets[j])
-                H[i, j] = H[j, i] = v
+        if hermitian:
+            for i, d1 in enumerate(self.dets):
+                for j in range(i + 1):
+                    v = self.hmat_element(d1, self.dets[j])
+                    H[i, j] = H[j, i] = v
+        else:
+            for i, d1 in enumerate(self.dets):
+                for j, d2 in enumerate(self.dets):
+                    H[i, j] = self.hmat_element(d1, d2)
         return H
 
     def kernel(self, nroots=1):

@@ -168,3 +168,64 @@ def lambda_kernel(eris, t1, t2, act_hole, act_particle, idx_s, idx_d,
     return lambda_ad.kernel_u(t1, t2, eris, max_cycle=max_cycle,
                               conv_tol=conv_tol, verbose=verbose,
                               masks=masks)
+
+
+def _masks_to_spin_orbital(masks, nocc, nvir):
+    """Map blocked freeze masks (m1a, m1b, m2aa, m2ab, m2bb) to boolean
+    spin-orbital masks over [occ_a, occ_b | vir_a, vir_b] ordering."""
+    m1a, m1b, m2aa, m2ab, m2bb = (np.asarray(m) for m in masks)
+    na, nb = nocc
+    va, vb = nvir
+    no, nv = na + nb, va + vb
+    M1 = np.zeros((no, nv), dtype=bool)
+    M1[:na, :va] = m1a
+    M1[na:, va:] = m1b
+    M2 = np.zeros((no, no, nv, nv), dtype=bool)
+    M2[:na, :na, :va, :va] = m2aa
+    M2[na:, na:, va:, va:] = m2bb
+    M2[:na, na:, :va, va:] = m2ab
+    M2[na:, :na, va:, :va] = m2ab.transpose(1, 0, 3, 2)
+    M2[:na, na:, va:, :va] = m2ab.transpose(0, 1, 3, 2)
+    M2[na:, :na, :va, va:] = m2ab.transpose(1, 0, 2, 3)
+    return M1, M2
+
+
+def kernel_pert_triples(mf, act_hole, act_particle, idx_s, idx_d,
+                        model="ccsdt-3", max_cycle=100, conv_tol=1e-9,
+                        conv_tol_normt=1e-7, verbose=0, t1=None, t2=None):
+    """UMPCC with coupled active-space T3 (the fork's pert_triples path,
+    umpccsd.py:2183-2197 + ccsd.py:79-87,1278): the CCSD equations with
+    the MP-CC block freeze PLUS an iteratively solved T3 restricted to the
+    all-active triples block, fed back into the t1/t2 residuals, with its
+    own DIIS history.  Spin-orbital engine (cc/gccsdt_slow, oracle-locked)
+    — appropriate for the small active spaces this method targets.
+
+    act_hole/act_particle: (alpha_list, beta_list) spatial indices;
+    idx_s/idx_d: the frozen-block lists (reference get_index_tuples
+    enumeration).  Returns (e_corr, t1_so, t2_so, t3_so, converged)."""
+    from pyscf_mpcc_tpu.cc import eom_slow, gccsd_slow, gccsdt_slow
+    so = gccsd_slow.eris_from_scf(mf)
+    h_so = eom_slow.h_so_from_eris(so)
+    na, nb = mf.mol.nelec
+    nmo = np.asarray(mf.mo_coeff).shape[-1]
+    va, vb = nmo - na, nmo - nb
+    if idx_s and not isinstance(idx_s[0], (list, tuple, np.ndarray)):
+        idx_s = (idx_s, idx_s)
+    if idx_d and not isinstance(idx_d[0], (list, tuple, np.ndarray)):
+        idx_d = (idx_d, idx_d, idx_d)
+    if not idx_s:
+        idx_s = ([], [])
+    if not idx_d:
+        idx_d = ([], [], [])
+    masks = frozen_masks_u(act_hole, act_particle, (na, nb), (va, vb),
+                           idx_s, idx_d)
+    M1, M2 = _masks_to_spin_orbital(masks, (na, nb), (va, vb))
+    (aha, ahb), (apa, apb) = act_hole, act_particle
+    act_hole_so = list(aha) + [na + int(i) for i in ahb]
+    act_particle_so = list(apa) + [va + int(p) for p in apb]
+    e, T1, T2, T3, conv = gccsdt_slow.kernel(
+        so, h_so, act_hole=act_hole_so, act_particle=act_particle_so,
+        model=model, max_cycle=max_cycle, conv_tol=conv_tol,
+        conv_tol_normt=conv_tol_normt, verbose=verbose,
+        t1=t1, t2=t2, freeze_mask1=M1, freeze_mask2=M2)
+    return e, T1, T2, T3, conv
