@@ -93,11 +93,13 @@ def _a36(x):
     return out
 
 
-def t3_residual(t2, t3, er, model="ccsdt"):
+def t3_residual(t2, t3, er, model="ccsdt", driving="full"):
     """The t1-free T3 residual over (possibly dressed) integrals.
 
     Every coefficient below is locked to the exact determinant-space
-    projection; see tests/test_gccsdt.py."""
+    projection; see tests/test_gccsdt.py.  driving='linear' drops the
+    quadratic-t2 driving terms (the bare (T)-generator limit, used by
+    the one-shot environment-triples validation)."""
     if model not in MODELS:
         raise ValueError(f"unknown model {model!r}; one of {MODELS}")
     o = slice(0, er.nocc)
@@ -122,17 +124,18 @@ def t3_residual(t2, t3, er, model="ccsdt"):
     x -= np.einsum("imbc,majk->ijkabc", t2, ovoo, optimize=True)
     r3 = p_hole(p_part(x))
 
-    q = -0.125 * np.einsum("mnab,mnie,jkce->ijkabc", t2, ooov, t2,
-                           optimize=True)
-    q += -0.5 * np.einsum("jmae,mnie,nkbc->ijkabc", t2, ooov, t2,
-                          optimize=True)
-    q += 0.125 * np.einsum("jkef,maef,mibc->ijkabc", t2, ovvv, t2,
-                           optimize=True)
-    q += 0.5 * np.einsum("imbe,maef,jkcf->ijkabc", t2, ovvv, t2,
-                         optimize=True)
-    q += 0.25 * np.einsum("imbc,me,jkae->ijkabc", t2, fov, t2,
-                          optimize=True)
-    r3 += _a36(q)
+    if driving == "full":
+        q = -0.125 * np.einsum("mnab,mnie,jkce->ijkabc", t2, ooov, t2,
+                               optimize=True)
+        q += -0.5 * np.einsum("jmae,mnie,nkbc->ijkabc", t2, ooov, t2,
+                              optimize=True)
+        q += 0.125 * np.einsum("jkef,maef,mibc->ijkabc", t2, ovvv, t2,
+                               optimize=True)
+        q += 0.5 * np.einsum("imbe,maef,jkcf->ijkabc", t2, ovvv, t2,
+                             optimize=True)
+        q += 0.25 * np.einsum("imbc,me,jkae->ijkabc", t2, fov, t2,
+                              optimize=True)
+        r3 += _a36(q)
 
     if t3 is None:
         return r3
@@ -302,3 +305,64 @@ def kernel(eris, h_so, act_hole=None, act_particle=None, model="ccsdt",
             break
         e_last = e
     return e, t1, t2, t3, converged
+
+
+def env_triples_kernel(eris, h_so, t1, t2, act_hole, act_particle,
+                       model="ccsdt-3", dress_t1=True, driving="full",
+                       one_shot=False, env_amplitudes=False,
+                       max_cycle=60, conv_tol=1e-8, verbose=0):
+    """Iterative ENVIRONMENT triples at fixed (t1, t2).
+
+    Role of the fork's uccsd_t_inactive_iterative.py (:634 iterative
+    kernel, :733 inactive_energy, :1683-1702 t1-dressed intermediates):
+    t3 is solved on the COMPLEMENT of the all-active block — the
+    environment correction that the active-space MPCC misses — while the
+    converged (t1, t2) stay fixed.  The t1 dressing is exact (``dress``);
+    the reference's get_X/get_J/get_F t1-dressed DF intermediates play the
+    same role approximately.
+
+    Energy:  E_env = <T1', R1(t3)> + 1/4 <T2', R2(t3)>  — the adjoint
+    pairing of the t3 feedback with the amplitudes (the reference's
+    lhs_env_triples contraction).  env_amplitudes=True zeroes the active
+    blocks of (t1, t2) in the pairing, the reference's inactive_energy
+    convention; the default pairs the full amplitudes, which in the
+    (one_shot, dress_t1=False, driving='linear') limit is EXACTLY the
+    standard (T) energy restricted to environment triples — the
+    cross-validation anchor against cc/gccsd_t_slow.
+
+    Returns (e_env, t3, converged)."""
+    nocc = eris.nocc
+    nvir = eris.nso - nocc
+    if dress_t1:
+        hd, gd, fd = dress(h_so, eris.ints, t1, nocc)
+        er = DressedERIs(gd, fd, nocc)
+    else:
+        er = eris
+    eo = np.diag(eris.fock)[:nocc]
+    ev = np.diag(eris.fock)[nocc:]
+    d3 = ((eo[:, None, None] + eo[None, :, None]
+           + eo[None, None, :])[:, :, :, None, None, None]
+          - (ev[:, None, None] + ev[None, :, None]
+             + ev[None, None, :])[None, None, None])
+    env = ~t3_mask(act_hole, act_particle, nocc, nvir)
+    t3 = np.zeros((nocc,) * 3 + (nvir,) * 3)
+    converged = one_shot
+    for it in range(1 if one_shot else max_cycle):
+        R3 = t3_residual(t2, t3, er, model=model, driving=driving)
+        t3n = np.where(env, t3 + R3 / d3, 0.0)
+        dn = np.linalg.norm(t3n - t3)
+        t3 = t3n
+        if not one_shot and dn < conv_tol:
+            converged = True
+            break
+    f1, f2 = feedback(t3, er)
+    t1p, t2p = t1, t2
+    if env_amplitudes:
+        m1 = np.zeros((nocc, nvir), dtype=bool)
+        m1[np.ix_(np.asarray(act_hole, int),
+                  np.asarray(act_particle, int))] = True
+        t1p = np.where(m1, 0.0, t1)
+        m2 = (m1[:, None, :, None] & m1[None, :, None, :])
+        t2p = np.where(m2, 0.0, t2)
+    e_env = float(np.vdot(t1p, f1) + 0.25 * np.vdot(t2p, f2))
+    return e_env, t3, converged

@@ -140,3 +140,56 @@ def test_umpcc_pert_triples_limits():
         conv_tol=1e-10, conv_tol_normt=1e-8)
     assert c2
     assert abs(e2 - e_cc) < 0.05
+
+
+def test_env_triples_one_shot_matches_t_partition():
+    """(one_shot, bare, linear) environment triples == the (T)-energy
+    partition of cc/gccsd_t_slow — and unmasked == the full (T)."""
+    from pyscf_mpcc_tpu.cc import gccsd_t_slow
+
+    mol, mf, so, h_so = _h4()
+    e_cc, t1, t2, conv = gccsd_slow.kernel(so, conv_tol=1e-12,
+                                           conv_tol_normt=1e-11,
+                                           max_cycle=300)
+    assert conv
+    nocc, nvir = t1.shape
+    # unmasked one-shot == full (T)
+    et_ref = gccsd_t_slow.kernel(t1, t2, so)
+    e_all, _, _ = gccsdt_slow.env_triples_kernel(
+        so, h_so, t1, t2, act_hole=[], act_particle=[],
+        dress_t1=False, driving="linear", one_shot=True)
+    assert abs(e_all - et_ref) < 1e-11
+    # env-masked one-shot == the exclude_active partition
+    ah, ap = [2, 3], [0, 1]
+    et_env = gccsd_t_slow.kernel(t1, t2, so, act_hole=ah, act_particle=ap,
+                                 mode="exclude_active")
+    e_env, t3, _ = gccsdt_slow.env_triples_kernel(
+        so, h_so, t1, t2, act_hole=ah, act_particle=ap,
+        dress_t1=False, driving="linear", one_shot=True)
+    assert abs(e_env - et_env) < 1e-11
+    # the active t3 block is exactly zero
+    mask = gccsdt_slow.t3_mask(ah, ap, nocc, nvir)
+    assert np.abs(np.where(mask, t3, 0.0)).max() == 0.0
+
+
+def test_env_triples_iterative_converges():
+    """The dressed iterative solver converges and stays in the same scale
+    as the one-shot correction."""
+    mol, mf, so, h_so = _h4()
+    e_cc, t1, t2, conv = gccsd_slow.kernel(so, conv_tol=1e-12,
+                                           conv_tol_normt=1e-11,
+                                           max_cycle=300)
+    ah, ap = [2, 3], [0, 1]
+    e1, _, _ = gccsdt_slow.env_triples_kernel(
+        so, h_so, t1, t2, act_hole=ah, act_particle=ap,
+        dress_t1=False, driving="linear", one_shot=True)
+    e2, _, c2 = gccsdt_slow.env_triples_kernel(
+        so, h_so, t1, t2, act_hole=ah, act_particle=ap,
+        model="ccsdt-3", conv_tol=1e-10)
+    assert c2
+    assert abs(e2 - e1) < 5.0 * abs(e1) + 1e-9
+    # the reference's env-amplitude pairing variant also runs
+    e3, _, c3 = gccsdt_slow.env_triples_kernel(
+        so, h_so, t1, t2, act_hole=ah, act_particle=ap,
+        model="ccsdt-3", conv_tol=1e-10, env_amplitudes=True)
+    assert c3
