@@ -242,15 +242,16 @@ class UCCSDDriver:
                                         nroots=nroots, tol=tol, spin=spin)
         return e
 
-    def ccsd_t(self, t1=None, t2=None):
-        """UCCSD(T) via the spin-orbital triples oracle (cc/gccsd_t_slow);
-        the batched open-shell tile kernel is the planned fast path."""
-        from pyscf_mpcc_tpu.cc import gccsd_slow, gccsd_t_slow
-        so = gccsd_slow.eris_from_scf(self._scf, frozen=self.frozen)
-        T1, T2 = uccsd.to_spin_orbital(
+    def ccsd_t(self, t1=None, t2=None, eris=None, tile=8):
+        """UCCSD(T) via the tiled spin-orbital engine (cc/uccsd_t.py) —
+        DF-direct when the eris carry 3-center factors.  Works with
+        frozen>0 since it consumes the frozen-sliced eris container."""
+        from pyscf_mpcc_tpu.cc import uccsd_t
+        if eris is None:
+            eris = self.eris or self.ao2mo()
+        return uccsd_t.kernel(
             t1 if t1 is not None else self.t1,
-            t2 if t2 is not None else self.t2, self.nocc)
-        return gccsd_t_slow.kernel(T1, T2, so)
+            t2 if t2 is not None else self.t2, eris, tile=tile)
 
 
 def CCSD(mf, frozen=0, mo_coeff=None):
