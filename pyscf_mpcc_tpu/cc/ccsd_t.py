@@ -31,6 +31,12 @@ def _tile_triples(nvt):
     return np.asarray(out, dtype=np.int32)
 
 
+# compiled-scan cache: kernel() builds its jitted tile scan once per static
+# configuration (retracing + Mosaic re-lowering per call costs seconds —
+# measured ~7 ms/tile of pure overhead on a 512-tile probe)
+_SCAN_CACHE = {}
+
+
 def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
            act_hole=None, act_particle=None, mode="exclude_active",
            mesh=None, engine="auto"):
@@ -55,6 +61,12 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     nocc, nvir = t1.shape
     if dtype is None:
         dtype = t2.dtype
+    if not tile:
+        # HBM governor sizes the tile edge (reference counterpart: the
+        # max_memory-driven blksize of ccsd_t.c's caller, misc.py:113)
+        from pyscf_mpcc_tpu.lib import memory as _mem
+        naux = eris.Lov.shape[0] if eris.Lov is not None else 0
+        tile = _mem.plan_triples_tile(nocc, nvir, naux, dtype)
     f = eris.fock
     eo = eris.mo_energy[:nocc].astype(dtype)
     ev = eris.mo_energy[nocc:].astype(dtype)
@@ -77,14 +89,29 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # TPU layout note: a trailing axis of size nocc (~32) pads 4x to the
     # 128-lane tile, so all persistent tensors keep a fused occupied-pair
     # axis (nocc^2 >= 128) or the virtual axis last.
+    if engine == "auto":
+        engine = "fused" if jax.default_backend() == "tpu" else "xla"
+    if engine not in ("fused", "xla"):
+        raise ValueError(f"unknown (T) engine {engine!r}; use 'fused', "
+                         "'xla' or 'auto'")
+
     # t2T[c, f, (j,k)] = t2[k, j, c, f]
     t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
     t2T = t2T.reshape(t2T.shape[0], t2T.shape[1], nocc * nocc)
     # vooo[a, i, (j,m)] = (ia|jm)
     vooo = padv(eris.ovoo.astype(dtype).transpose(1, 0, 2, 3), [0])
     vooo = vooo.reshape(vooo.shape[0], nocc, nocc * nocc)
-    # oovv[i, j, x, y] = (ix|jy): tile slices address the two minor axes
-    oovv_r = padv(eris.ovov.astype(dtype).transpose(0, 2, 1, 3), [2, 3])
+    if engine == "fused":
+        # swapped-pair layout t2Ts[c, f, (k,j)] and tile-axes-leading
+        # oovv_T[x, y, i, j] = (ix|jy) for canonical-emission dots
+        t2Ts = padv(t2.astype(dtype).transpose(2, 3, 0, 1), [0, 1])
+        t2Ts = t2Ts.reshape(t2Ts.shape[0], t2Ts.shape[1], nocc * nocc)
+        oovv_T = padv(eris.ovov.astype(dtype).transpose(1, 3, 0, 2), [0, 1])
+        oovv_r = None
+    else:
+        # oovv[i, j, x, y] = (ix|jy): tile slices address the two minor axes
+        oovv_r = padv(eris.ovov.astype(dtype).transpose(0, 2, 1, 3), [2, 3])
+        t2Ts = oovv_T = None
     if eris.Lov is not None:
         Lov = padv(eris.Lov.astype(dtype), [2])
         Lvv = padv(eris.Lvv.astype(dtype), [1, 2])
@@ -114,8 +141,13 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # ARGUMENTS (a dict pytree).  Closing over them would embed gigabytes
     # of constants into the lowered HLO — which is what used to break the
     # remote compile at production scale.
-    big_arrays = dict(t2T=t2T, vooo=vooo, oovv_r=oovv_r, t1p=t1p,
+    big_arrays = dict(t2T=t2T, vooo=vooo, t1p=t1p,
                       fvo_p=fvo_p, ev_p=ev_p, eo=eo)
+    if engine == "fused":
+        big_arrays["t2Ts"] = t2Ts
+        big_arrays["oovv_T"] = oovv_T
+    else:
+        big_arrays["oovv_r"] = oovv_r
     if ovvv is not None:
         big_arrays["ovvv"] = ovvv
     else:
@@ -255,13 +287,16 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
     def make_tile_energy_fused(big, interpret=False):
         """Scan body using the Pallas permutation-epilogue kernel: six XLA
-        dots in natural layouts (no 6D transposes), small per-tile slices,
-        then ops.triples_combine.tile_energy_fused for W/V/Z/energy."""
-        from pyscf_mpcc_tpu.ops.triples_combine import (PERMS,
+        dots emitted directly in canonical occupied order (two stored t2
+        pair layouts + operand-order choice; ops/triples_combine.W_PLAN),
+        small per-tile slices, then tile_energy_fused for W/V/Z/energy."""
+        from pyscf_mpcc_tpu.ops.triples_combine import (PERMS, W_PLAN,
+                                                        emit_w_dot,
                                                         tile_energy_fused)
         t2T = big["t2T"]
+        t2Ts = big["t2Ts"]
         vooo = big["vooo"]
-        oovv_r = big["oovv_r"]
+        oovv_T = big["oovv_T"]
         t1p = big["t1p"]
         fvo_p = big["fvo_p"]
         ev_p = big["ev_p"]
@@ -278,32 +313,35 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                        * act_occ[None, None, :])
         zi32 = jnp.int32(0)
 
-        def ov_block(x0, y0):
-            if ovvv is not None:
-                blk = jax.lax.dynamic_slice(
-                    ovvv, (zi32, x0, zi32, y0), (o, T, nvp, T))
-                return blk.transpose(1, 3, 0, 2)
-            lo = jax.lax.dynamic_slice(Lov, (zi32, zi32, x0),
-                                       (Lov.shape[0], o, T))
-            lv = jax.lax.dynamic_slice(Lvv, (zi32, zi32, y0),
-                                       (Lvv.shape[0], nvp, T))
-            return jnp.einsum("Lix,Lfy->xyif", lo, lv,
-                              preferred_element_type=dtype)
-
         def tile_energy(carry, abc):
             starts = tuple(jnp.int32(abc[r] * T) for r in range(3))
-            t2T_sl = [jax.lax.dynamic_slice(t2T, (s, zi32, zi32),
-                                            (T, nvp, oo)) for s in starts]
+            if ovvv is None:
+                lo = [jax.lax.dynamic_slice(
+                    Lov, (zi32, zi32, s), (Lov.shape[0], o, T))
+                    for s in starts]
+                lv = [jax.lax.dynamic_slice(
+                    Lvv, (zi32, zi32, s), (Lvv.shape[0], nvp, T))
+                    for s in starts]
             ovb = {}
             for (xi, yi) in set((p[0], p[1]) for p in PERMS):
-                ovb[(xi, yi)] = ov_block(starts[xi], starts[yi])
-            w_list = []
-            for p in PERMS:
-                xi, yi, zi = p
-                w = jax.lax.dot_general(
-                    ovb[(xi, yi)], t2T_sl[zi], (((3,), (1,)), ((), ())),
-                    preferred_element_type=dtype)
-                w_list.append(w.reshape(T, T, o, T, o, o))
+                if ovvv is not None:
+                    blk = jax.lax.dynamic_slice(
+                        ovvv, (zi32, starts[xi], zi32, starts[yi]),
+                        (o, T, nvp, T))
+                    ovb[(xi, yi)] = blk.transpose(1, 3, 0, 2)
+                else:
+                    ovb[(xi, yi)] = jnp.einsum(
+                        "Lix,Lfy->xyif", lo[xi], lv[yi],
+                        preferred_element_type=dtype)
+            t2T_sl = {("jk", r): jax.lax.dynamic_slice(
+                t2T, (s, zi32, zi32), (T, nvp, oo))
+                for r, s in enumerate(starts)}
+            t2T_sl.update({("kj", r): jax.lax.dynamic_slice(
+                t2Ts, (s, zi32, zi32), (T, nvp, oo))
+                for r, s in enumerate(starts)})
+            w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
+                                 t2T_sl[(W_PLAN[p]["t2"], p[2])],
+                                 dtype, T, o) for p in PERMS]
             vooo_t = jnp.stack([jax.lax.dynamic_slice(
                 vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, oo, o)
                 for s in starts])
@@ -311,13 +349,16 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 t2T, (s1, s2, zi32), (T, T, oo)).reshape(T, T, o, o)
                 for s2 in starts]) for s1 in starts])
             oovv_t = jnp.stack([jnp.stack([jax.lax.dynamic_slice(
-                oovv_r, (zi32, zi32, s1, s2), (o, o, T, T)
-            ).transpose(2, 3, 0, 1) for s2 in starts])
-                for s1 in starts])
+                oovv_T, (s1, s2, zi32, zi32), (T, T, o, o))
+                for s2 in starts]) for s1 in starts])
             t1_t = jnp.stack([jax.lax.dynamic_slice(
                 t1p, (zi32, s), (o, T)).T[:, None, :] for s in starts])
             fvo_t = jnp.stack([jax.lax.dynamic_slice(
                 fvo_p, (s, zi32), (T, o))[:, None, :] for s in starts])
+            t1c_t = jnp.stack([jax.lax.dynamic_slice(
+                t1p, (zi32, s), (o, T)).T[:, :, None] for s in starts])
+            fvoc_t = jnp.stack([jax.lax.dynamic_slice(
+                fvo_p, (s, zi32), (T, o))[:, :, None] for s in starts])
             evt = jnp.stack([jax.lax.dynamic_slice(ev_p, (s,), (T,))
                              for s in starts])
             gabc = jnp.stack([s + jnp.arange(T, dtype=jnp.int32)
@@ -326,22 +367,17 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 actv = jnp.stack([jax.lax.dynamic_slice(
                     act_vir, (s,), (T,)) for s in starts])
                 e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
-                                      fvo_t, eijk, gabc, evt, actv=actv,
-                                      actocc=actocc3, act_mode=mode,
-                                      interpret=interpret)
+                                      fvo_t, t1c_t, fvoc_t, eijk, gabc,
+                                      evt, actv=actv, actocc=actocc3,
+                                      act_mode=mode, interpret=interpret)
             else:
                 e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
-                                      fvo_t, eijk, gabc, evt,
-                                      interpret=interpret)
+                                      fvo_t, t1c_t, fvoc_t, eijk, gabc,
+                                      evt, interpret=interpret)
             return carry + e.astype(carry.dtype), None
 
         return tile_energy
 
-    if engine == "auto":
-        engine = "fused" if jax.default_backend() == "tpu" else "xla"
-    if engine not in ("fused", "xla"):
-        raise ValueError(f"unknown (T) engine {engine!r}; use 'fused', "
-                         "'xla' or 'auto'")
     if engine == "fused":
         interp = jax.default_backend() != "tpu"
 
@@ -386,8 +422,18 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             e_sum -= float(e0)
         return 2.0 * e_sum
 
-    scan_chunk = jax.jit(
-        lambda c, t, big: jax.lax.scan(tile_fn(big), c, t)[0])
+    cache_key = (engine, T, o, nvp, str(dtype), str(acc_dtype), mode,
+                 act_hole is not None,
+                 None if act_hole is None else (tuple(np.sort(act_hole)),
+                                                tuple(np.sort(act_particle))),
+                 ovvv is None,
+                 None if Lov is None else Lov.shape[0],
+                 jax.default_backend())
+    scan_chunk = _SCAN_CACHE.get(cache_key)
+    if scan_chunk is None:
+        scan_chunk = jax.jit(
+            lambda c, t, big: jax.lax.scan(tile_fn(big), c, t)[0])
+        _SCAN_CACHE[cache_key] = scan_chunk
     ntrips = trips.shape[0]
     total = 0.0
     # Full chunks share one compilation; the remainder adds at most one

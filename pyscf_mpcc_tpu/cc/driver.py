@@ -12,19 +12,25 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from pyscf_mpcc_tpu import gto
+from pyscf_mpcc_tpu import config, gto
 from pyscf_mpcc_tpu.cc import ccsd_t as ccsd_t_mod
 from pyscf_mpcc_tpu.cc import eris as eris_mod
 from pyscf_mpcc_tpu.cc import lambda_ad, rccsd, uccsd
+from pyscf_mpcc_tpu.lib import logger
+from pyscf_mpcc_tpu.lib.stream import StreamObject
 from pyscf_mpcc_tpu.scf.hf import UHF as _UHF
 
 
-class RCCSDDriver:
-    conv_tol = 1e-8
-    conv_tol_normt = 1e-6
+class RCCSDDriver(StreamObject):
+    conv_tol = config.CC_CONV_TOL
+    conv_tol_normt = config.CC_CONV_TOL_NORMT
     max_cycle = 100
     diis_space = 6
     level_shift = 0.0
+    # 0 -> let the HBM governor (lib/memory.py) size the DF-ladder tiling
+    ntile = 0
+    # spill the DIIS ring here every cycle (preemption-safe restarts)
+    diis_file = None
 
     def __init__(self, mf, frozen=0, mo_coeff=None):
         self._scf = mf
@@ -59,21 +65,27 @@ class RCCSDDriver:
 
     # -- solvers -----------------------------------------------------------
     def kernel(self, t1=None, t2=None, eris=None):
+        log = logger.Logger(verbose=self.verbose)
+        tic = log.timer("")
         if eris is None:
             eris = self.eris or self.ao2mo()
+            tic = log.timer("CCSD integral transform", *tic)
+        ntile = self.ntile
+        if not ntile and eris.Lvv is not None:
+            from pyscf_mpcc_tpu.lib import memory as _mem
+            ntile = _mem.plan_ladder_ntile(self.nocc, self.nmo - self.nocc,
+                                           eris.Lvv.shape[0])
         self.converged, self.e_corr, self.t1, self.t2 = rccsd.kernel(
             eris, max_cycle=self.max_cycle, conv_tol=self.conv_tol,
             conv_tol_normt=self.conv_tol_normt, diis_space=self.diis_space,
-            level_shift=self.level_shift, t1=t1, t2=t2)
+            level_shift=self.level_shift, t1=t1, t2=t2,
+            ntile=max(ntile, 1), adiis=getattr(self, "_adiis", None),
+            diis_file=self.diis_file)
+        self._adiis = None
+        log.timer("CCSD iterations", *tic)
         return self.e_corr, self.t1, self.t2
 
     ccsd = kernel
-
-    def run(self, **kwargs):
-        for k, v in kwargs.items():
-            setattr(self, k, v)
-        self.kernel()
-        return self
 
     @property
     def e_tot(self):
@@ -150,6 +162,16 @@ class RCCSDDriver:
         chkfile.dump_cc(path, self.e_corr, self.t1, self.t2,
                         mo_coeff=self.mo_coeff, key=key)
 
+    def restore_from_diis_(self, path):
+        """Resume iteration from a spilled DIIS ring (.npz written via
+        ``diis_file``); reference counterpart cc/ccsd.py:781
+        ``restore_from_diis_`` + lib/diis.py:277 ``DIIS.restore``.  The
+        next ``kernel()`` starts from the ring's last extrapolated
+        amplitudes with the full history intact."""
+        from pyscf_mpcc_tpu.lib.diis import DIIS
+        self._adiis = DIIS.restore(path)
+        return self
+
     def restore_from_chk(self, path, key="ccsd"):
         """Warm-start amplitudes from a checkpoint (scanner semantics,
         reference cc/ccsd.py:883 CCSD_Scanner)."""
@@ -161,9 +183,9 @@ class RCCSDDriver:
         return self
 
 
-class UCCSDDriver:
-    conv_tol = 1e-8
-    conv_tol_normt = 1e-6
+class UCCSDDriver(StreamObject):
+    conv_tol = config.CC_CONV_TOL
+    conv_tol_normt = config.CC_CONV_TOL_NORMT
     max_cycle = 100
     diis_space = 6
     level_shift = 0.0
@@ -208,19 +230,17 @@ class UCCSDDriver:
         return self.eris
 
     def kernel(self, t1=None, t2=None, eris=None):
+        log = logger.Logger(verbose=self.verbose)
+        tic = log.timer("")
         if eris is None:
             eris = self.eris or self.ao2mo()
+            tic = log.timer("UCCSD integral transform", *tic)
         self.converged, self.e_corr, self.t1, self.t2 = uccsd.kernel(
             eris, max_cycle=self.max_cycle, conv_tol=self.conv_tol,
             conv_tol_normt=self.conv_tol_normt, diis_space=self.diis_space,
             level_shift=self.level_shift, t1=t1, t2=t2)
+        log.timer("UCCSD iterations", *tic)
         return self.e_corr, self.t1, self.t2
-
-    def run(self, **kwargs):
-        for k, v in kwargs.items():
-            setattr(self, k, v)
-        self.kernel()
-        return self
 
     @property
     def e_tot(self):

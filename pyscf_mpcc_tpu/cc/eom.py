@@ -71,7 +71,8 @@ def kernel_ee(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
         v[order[k]] = 1.0
         x0.append(v)
     conv, e, vecs = davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                             max_cycle=max_cycle, verbose=verbose)
+                             max_cycle=max_cycle, verbose=verbose,
+                             pick="follow")
     return conv, e, vecs
 
 
@@ -138,7 +139,8 @@ def kernel_ee_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
         x0.append(v)
     from pyscf_mpcc_tpu.lib.linalg import davidson
     conv, e, vecs = davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                             max_cycle=max_cycle, verbose=verbose)
+                             max_cycle=max_cycle, verbose=verbose,
+                             pick="follow")
     return conv, e, vecs
 
 
@@ -265,7 +267,7 @@ def kernel_ip(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
 
     x0 = _guesses(diag, n1, nroots)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose)
+                    max_cycle=max_cycle, verbose=verbose, pick="follow")
 
 
 def kernel_ea(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
@@ -297,7 +299,7 @@ def kernel_ea(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
 
     x0 = _guesses(diag, n1, nroots)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose)
+                    max_cycle=max_cycle, verbose=verbose, pick="follow")
 
 
 # ---------------------------------------------------------------------------
@@ -432,7 +434,7 @@ def kernel_ip_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
 
     x0 = _guesses(diag, na, nroots)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose)
+                    max_cycle=max_cycle, verbose=verbose, pick="follow")
 
 
 def kernel_ea_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
@@ -479,4 +481,4 @@ def kernel_ea_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
 
     x0 = _guesses(diag, nva, nroots)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose)
+                    max_cycle=max_cycle, verbose=verbose, pick="follow")

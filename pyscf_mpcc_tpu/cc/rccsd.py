@@ -291,10 +291,14 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1,
 def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
            diis_space=6, level_shift=0.0, verbose=0, t1=None, t2=None,
            ntile=1, diis_start_cycle=0, variant="ccsd",
-           diis_backend="host"):
+           diis_backend="host", adiis=None, diis_file=None):
     """Host-driven CCSD iteration with DIIS (reference cc/ccsd.py:44).
 
-    Returns (converged, e_corr, t1, t2).
+    adiis: preloaded host DIIS object (lib.diis.DIIS.restore) to resume a
+    run with its extrapolation history (reference cc/ccsd.py:781
+    restore_from_diis_); diis_file: spill the ring buffer there every
+    cycle so the run is preemption-safe.  Returns (converged, e_corr,
+    t1, t2).
     """
     from pyscf_mpcc_tpu.lib.diis import DIIS
     from pyscf_mpcc_tpu.lib import logger as lg
@@ -317,7 +321,12 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
         pack = jax.jit(lambda a, b: jnp.concatenate([a.ravel(), b.ravel()]))
         vec_old = pack(t1, t2)
     else:
-        diis = DIIS(space=diis_space)
+        diis = adiis if adiis is not None else DIIS(space=diis_space)
+        if adiis is not None and adiis._xs:
+            # resume from the last extrapolated amplitudes in the ring
+            vec = adiis._xs[-1]
+            t1 = jnp.asarray(vec[: nocc * nvir].reshape(nocc, nvir))
+            t2 = jnp.asarray(vec[nocc * nvir:].reshape(t2.shape))
     for it in range(max_cycle):
         t1new, t2new = update_amps(t1, t2, eris, level_shift, ntile=ntile,
                                    variant=variant)
@@ -338,6 +347,8 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
             vec = diis.update(vec)
             t1 = jnp.asarray(vec[: nocc * nvir].reshape(nocc, nvir))
             t2 = jnp.asarray(vec[nocc * nvir:].reshape(t2new.shape))
+            if diis_file is not None:
+                diis.dump(diis_file)
         e = float(energy(t1, t2, eris))
         log.info("cycle %2d  E_corr(RCCSD) = %.14f  dE = %10.3e  |dt| = %9.3e",
                  it, e, e - e_last, normt)

@@ -55,6 +55,39 @@ class DIIS:
             self._last_x = xnew.copy()
         return xnew
 
+    # ------------------------------------------------------ spill/restore
+    def dump(self, path):
+        """Serialize the ring buffer to ``path`` (.npz).
+
+        Counterpart of the reference's incore->HDF5 spill
+        (pyscf/lib/diis.py:277 DIIS.restore's write side): a crashed or
+        preempted run resumes extrapolation with its full history instead
+        of restarting DIIS cold.
+        """
+        payload = {"space": self.space, "min_space": self.min_space,
+                   "nvec": len(self._xs)}
+        arrs = {f"x{i}": x for i, x in enumerate(self._xs)}
+        arrs.update({f"e{i}": e for i, e in enumerate(self._errs)})
+        if self._last_x is not None:
+            arrs["last_x"] = self._last_x
+        np.savez(path, meta=np.array([payload["space"],
+                                      payload["min_space"],
+                                      payload["nvec"]]), **arrs)
+        return path
+
+    @classmethod
+    def restore(cls, path):
+        """Rebuild a DIIS object from :meth:`dump` output
+        (reference lib/diis.py:277 ``DIIS.restore``)."""
+        z = np.load(path)
+        space, min_space, nvec = (int(v) for v in z["meta"])
+        obj = cls(space=space, min_space=min_space)
+        obj._xs = [z[f"x{i}"] for i in range(nvec)]
+        obj._errs = [z[f"e{i}"] for i in range(nvec)]
+        if "last_x" in z:
+            obj._last_x = z["last_x"]
+        return obj
+
 
 def solve_diis_b(B):
     """Solve the DIIS B-matrix system with eigenvalue filtering.

@@ -1,0 +1,94 @@
+"""HBM budget governor: size device loops from available memory.
+
+TPU-native counterpart of the reference's max_memory-driven loop sizing
+(pyscf/lib/misc.py:113 current_memory + the per-module
+``blksize = max_memory // ...`` patterns, e.g. cc/ccsd.py _add_ovvv_):
+instead of hand-tuned ``ntile``/``tile`` constants, callers ask the
+governor for the largest tile that fits the documented working set of a
+kernel within the device's free HBM.
+
+All planners are pure shape arithmetic — safe to call before any array
+exists — and every returned knob keeps the static-shape contract (tile
+counts divide padded extents exactly).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from pyscf_mpcc_tpu import config
+
+_MB = 1024 * 1024
+
+
+def hbm_budget_bytes(device=None, headroom=0.85):
+    """Usable accelerator memory in bytes.
+
+    Honors config.MAX_MEMORY (MB) when set; otherwise queries the device
+    allocator (memory_stats), falling back to 12 GiB usable (one v5e chip
+    has 16 GiB HBM; XLA reserves some for program + scratch).
+    """
+    if config.MAX_MEMORY:
+        return int(config.MAX_MEMORY) * _MB
+    dev = device or jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit:
+            return int((limit - in_use) * headroom)
+    except Exception:
+        pass
+    return int(12 * 1024 * _MB)
+
+
+def _itemsize(dtype):
+    import numpy as np
+    return np.dtype(dtype).itemsize
+
+
+def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None):
+    """Tile count for the DF vvvv ladder (cc/rccsd._ladder_df).
+
+    Working set per tile beyond the persistent tensors: the tile's
+    W block (ta, nvir, nvir, ?) dominated by w = (ta, nvir, nvir) x ...
+    einsum intermediate of size ta*nvir^2*nocc? — conservatively the
+    (nvir/ntile, nvir, nvir) dressed-integral block plus the t2-sized
+    output, i.e. bytes_per_tile ~ (nvir^3/ntile + nocc^2 nvir^2) * isz.
+    Returns the smallest divisor `ntile` of nvir whose per-tile block
+    fits in ~1/4 of the budget (several buffers are live at once under
+    XLA double-buffering of lax.map).
+    """
+    isz = _itemsize(dtype)
+    budget = budget if budget is not None else hbm_budget_bytes()
+    persistent = (naux * nvir * nvir + naux * nocc * nvir
+                  + 3 * nocc * nocc * nvir * nvir) * isz
+    avail = max(budget - persistent, budget // 8)
+    divisors = [d for d in range(1, nvir + 1) if nvir % d == 0]
+    for ntile in divisors:
+        per_tile = (nvir // ntile) * nvir * nvir * isz * 2
+        if per_tile <= avail // 4:
+            return ntile
+    return nvir
+
+
+def plan_triples_tile(nocc, nvir, naux, dtype="float32", budget=None,
+                      max_tile=16):
+    """Tile edge for the fused CCSD(T) engine (cc/ccsd_t.kernel).
+
+    Per-tile live set: six W dot outputs of (T^3 * nocc^3) elements each
+    (written once by XLA, read once by the Pallas combine), the six ov
+    blocks (T^2 nocc nvir), and the persistent t2/oovv/L tensors.
+    Picks the largest even T <= max_tile that fits; minimum 4.
+    """
+    isz = _itemsize(dtype)
+    budget = budget if budget is not None else hbm_budget_bytes()
+    persistent = (2 * nvir * nvir * nocc * nocc      # t2T + oovv
+                  + naux * nvir * nvir + naux * nocc * nvir) * isz
+    avail = max(budget - persistent, budget // 8)
+    best = 4
+    for T in range(4, max_tile + 1, 2):
+        live = (6 * T**3 * nocc**3 + 6 * T * T * nocc * nvir) * isz * 2
+        if live <= avail:
+            best = T
+    return best

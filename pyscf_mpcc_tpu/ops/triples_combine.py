@@ -11,20 +11,29 @@ memory hierarchy.  The expensive parts of a (T) tile are
         and the energy reduction  e = sum W * Z / D * weight.
 
 Step (b) is pure data movement: done in XLA it transposes two
-(T,T,T,o,o,o) accumulators six times each through HBM with 4x-padded
-layouts (trailing dim nocc < 128 lanes) — the measured 3 TFLOP/s
-bottleneck of round 1.  This kernel fuses all of (b): the grid walks the
-(T,T,T) unit triples of a tile, each cell reads one (o,o,o) block from
-each of the six dot outputs (the *tile-level* permutation is free — it is
-just the BlockSpec index map), performs the *occupied-level* permutations
-in VMEM (native 3D transposes), recomputes the cheap w2/v terms
-in-register, and accumulates the tile energy.  W and V never exist in HBM.
+(T,T,T,o,o,o) accumulators six times each through HBM — the measured
+3 TFLOP/s bottleneck of round 1.  This kernel fuses all of (b), and the
+*occupied-level* permutations are eliminated at the source: with two
+stored t2 pair layouts ((j,k) and (k,j) fused) and a choice of
+dot_general operand order, every one of the six permuted dot outputs
+lands with its occupied axes already in canonical (i,j,k) order up to at
+most a swap of the two NON-minor dims (a cheap sublane shuffle — no lane
+crossing).  Derivation: perm p=(xi,yi,zi) places the ov-side occupied
+index i' at canonical slot p[0]; the t2-side fused pair fills the other
+two slots in either stored order, so
 
-Mosaic layout rules respected here: 3D transposes on native (o,o,o)
-blocks are supported; lane-splitting reshapes like (o, o*o) -> (o,o,o)
-are NOT — so every block arrives from HBM already in its kernel shape,
-and the only in-kernel reshape is the supported major-dim split
-(o*o, o) -> (o, o, o) on the w2 matmul output.
+    p[0]=0 -> direct            (pair layout picks slots 1,2)
+    p[0]=1 -> swap of dims 0,1  (minor dim untouched)
+    p[0]=2 -> i' must be minor: emit the dot t2-side-first
+              ((z,(jk),x,y,i)) and do ONE minor-preserving XLA
+              transpose to (z,x,y,(jk),i) before the kernel.
+
+The *tile-level* permutation is free — it is just the BlockSpec index
+map.  W and V never exist in HBM.
+
+Mosaic layout rules respected here: the only in-kernel permutations are
+(1,0,2) swaps of non-minor dims; the only reshape is the supported
+major-dim split (o*o, o) -> (o, o, o) on the w2 matmul output.
 """
 
 from __future__ import annotations
@@ -41,34 +50,70 @@ PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0))
 # ordered role pairs, for the t2/oovv block refs
 PAIRS = tuple((r1, r2) for r1 in range(3) for r2 in range(3) if r1 != r2)
 
+# per-perm W-dot emission plan: which t2 pair layout ('jk' fused as
+# (j,k), 'kj' as (k,j)), dot operand order, and whether the kernel must
+# swap the two non-minor occupied dims of the block
+W_PLAN = {
+    (0, 1, 2): dict(t2="jk", order="ov_first", swap=False),
+    (0, 2, 1): dict(t2="kj", order="ov_first", swap=False),
+    (1, 0, 2): dict(t2="jk", order="ov_first", swap=True),
+    (1, 2, 0): dict(t2="kj", order="ov_first", swap=True),
+    (2, 0, 1): dict(t2="jk", order="t2_first", swap=False),
+    (2, 1, 0): dict(t2="kj", order="t2_first", swap=False),
+}
+
 
 def _combine_kernel(o, T, act_mode, dtype, refs):
     (gabc_ref, evt_ref, actv_ref, w_refs, vooo_refs, t2p_refs, oovv_refs,
-     t1_refs, fvo_refs, eijk_ref, actocc_ref, out_ref) = refs
+     t1_refs, fvo_refs, t1c_refs, fvoc_refs, eijk_ref, actocc_ref,
+     out_ref) = refs
     A = pl.program_id(0)
     B = pl.program_id(1)
     C = pl.program_id(2)
 
+    # ---- W1: blocks are already canonical up to a non-minor (1,0,2) swap
     accW = jnp.zeros((o, o, o), dtype)
+    for pi, p in enumerate(PERMS):
+        blk = w_refs[pi][...]
+        accW = accW + (jnp.transpose(blk, (1, 0, 2))
+                       if W_PLAN[p]["swap"] else blk)
+
+    # ---- W2 (vooo . t2) and the V term, built directly in canonical
+    # orientation via broadcast placement (no lane-crossing transposes
+    # except the unavoidable w2 inv permutes)
     accV = jnp.zeros((o, o, o), dtype)
     for pi, p in enumerate(PERMS):
         xi, yi, zi = p
-        blk = w_refs[pi][:, :, :]                       # (i', j', k')
+        inv = (p.index(0), p.index(1), p.index(2))
         # w2[i',j',k'] = sum_m vooo[x][(i',j'),m] t2[m,k' | z,y]
-        t2mk = t2p_refs[PAIRS.index((zi, yi))][:, :]    # (m, k')
+        t2mk = t2p_refs[PAIRS.index((zi, yi))][:, :]
         w2b = jax.lax.dot_general(
             vooo_refs[xi][:, :], t2mk, (((1,), (0,)), ((), ())),
             preferred_element_type=dtype).reshape(o, o, o)
-        # v = ((i'x|j'y) t1[k',z] + t2[j',i'|y,x] fvo[z,k']) / 2
+        accW = accW - jnp.transpose(w2b, inv)
+        # v = ((i'x|j'y) t1[k',z] + t2[j',i'|y,x] fvo[z,k']) / 2, placed
+        # on canonical axes: source occupied d lands at pos[d]=inv.index(d)
         oovv_ij = oovv_refs[PAIRS.index((xi, yi))][:, :]
-        t1k = t1_refs[zi][0, :]
         t2ij = t2p_refs[PAIRS.index((yi, xi))][:, :]
-        fvok = fvo_refs[zi][0, :]
-        vp = 0.5 * (oovv_ij[:, :, None] * t1k[None, None, :]
-                    + t2ij[:, :, None] * fvok[None, None, :])
-        inv = (p.index(0), p.index(1), p.index(2))
-        accW = accW + jnp.transpose(blk - w2b, inv)
-        accV = accV + jnp.transpose(vp, inv)
+        pos = (inv.index(0), inv.index(1), inv.index(2))
+        if pos[0] < pos[1]:
+            a = jnp.expand_dims(oovv_ij, axis=pos[2])
+            c = jnp.expand_dims(t2ij, axis=pos[2])
+        else:
+            a = jnp.expand_dims(oovv_ij.T, axis=pos[2])
+            c = jnp.expand_dims(t2ij.T, axis=pos[2])
+        # the k' factor broadcasts along axis pos[2]; fetch it in the
+        # orientation that avoids a cross-lane relayout
+        if pos[2] == 2:
+            b = t1_refs[zi][0, :][None, None, :]
+            d = fvo_refs[zi][0, :][None, None, :]
+        elif pos[2] == 1:
+            b = jnp.expand_dims(t1c_refs[zi][:, :], 0)
+            d = jnp.expand_dims(fvoc_refs[zi][:, :], 0)
+        else:
+            b = jnp.expand_dims(t1c_refs[zi][:, :], 2)
+            d = jnp.expand_dims(fvoc_refs[zi][:, :], 2)
+        accV = accV + 0.5 * (a * b + c * d)
 
     V = accV + accW
     Z = (4.0 * V
@@ -113,34 +158,67 @@ def _kernel_entry(o, T, act_mode, dtype, gabc, evt, actv, *rest):
     oovv = rest[15:21]
     t1 = rest[21:24]
     fvo = rest[24:27]
-    eijk, actocc, out = rest[27], rest[28], rest[29]
+    t1c = rest[27:30]
+    fvoc = rest[30:33]
+    eijk, actocc, out = rest[33], rest[34], rest[35]
     _combine_kernel(o, T, act_mode, dtype,
-                    (gabc, evt, actv, w, vooo, t2p, oovv, t1, fvo,
-                     eijk, actocc, out))
+                    (gabc, evt, actv, w, vooo, t2p, oovv, t1, fvo, t1c,
+                     fvoc, eijk, actocc, out))
 
 
-def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, eijk,
-                      gabc, evt, actv=None, actocc=None, act_mode=None,
-                      interpret=False):
+def emit_w_dot(p, ovb, t2op, dtype, T, o):
+    """The perm-p W1 dot in its canonical-emission form (see W_PLAN).
+
+    ovb: (x, y, i', f) block; t2op: (z, f, pair) slice in the layout
+    W_PLAN[p]['t2'].  Returns the 6D array the kernel's BlockSpec reads.
+    """
+    nvp = t2op.shape[1]
+    if W_PLAN[p]["order"] == "ov_first":
+        w = jax.lax.dot_general(ovb, t2op, (((3,), (1,)), ((), ())),
+                                preferred_element_type=dtype)
+        return w.reshape(T, T, o, T, o, o)       # (x, y, i, z, P1, P2)
+    w = jax.lax.dot_general(t2op, ovb, (((1,), (3,)), ((), ())),
+                            preferred_element_type=dtype)
+    # (z,(P1 P2),x,y,i) -> (z,x,y,(P1 P2),i): the minor dim i stays
+    # minor, so this transpose is a major-dim shuffle (cheap), then a
+    # supported major split of the fused pair
+    w = jnp.transpose(w, (0, 2, 3, 1, 4))
+    return w.reshape(T, T, T, o, o, o)            # (z, x, y, P1, P2, i)
+
+
+def _wspec(p, o):
+    xi, yi, zi = p
+    if W_PLAN[p]["order"] == "ov_first":
+        # array (x, y, i, z, P1, P2); unit ids: x<-role xi, y<-yi, z<-zi
+        return pl.BlockSpec(
+            (None, None, o, None, o, o),
+            lambda A, B, C, xi=xi, yi=yi, zi=zi: (
+                (A, B, C)[xi], (A, B, C)[yi], 0, (A, B, C)[zi], 0, 0),
+            memory_space=pltpu.VMEM)
+    # array (z, x, y, P1, P2, i)
+    return pl.BlockSpec(
+        (None, None, None, o, o, o),
+        lambda A, B, C, xi=xi, yi=yi, zi=zi: (
+            (A, B, C)[zi], (A, B, C)[xi], (A, B, C)[yi], 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
+                      fvoc_t, eijk, gabc, evt, actv=None, actocc=None,
+                      act_mode=None, interpret=False):
     """Tile energy from the six dot outputs + small per-tile slices.
 
-    w_list:  6 arrays (T, T, o, T, o, o), layout (x, y, i', z, j', k')
+    w_list:  6 arrays from emit_w_dot (canonical-emission layouts)
     vooo_t:  (3, T, o*o, o)     [(i,j), m] blocks at the three tile starts
     t2p:     (3, 3, T, T, o, o) t2 pair blocks [m/j, k] for every role pair
     oovv_t:  (3, 3, T, T, o, o) (ix|jy) blocks
-    t1_t:    (3, T, 1, o), fvo_t: (3, T, 1, o), eijk: (o, o, o)
-    gabc:    (3, T) int32 global virtual indices; evt: (3, T) energies
+    t1_t:    (3, T, 1, o);  t1c_t: (3, T, o, 1)  (column orientation)
+    fvo_t:   (3, T, 1, o);  fvoc_t: (3, T, o, 1)
+    eijk:    (o, o, o); gabc: (3, T) int32 global virtuals; evt: (3, T)
     """
     T = w_list[0].shape[0]
-    o = w_list[0].shape[2]
+    o = t2p.shape[-1]
     dtype = w_list[0].dtype
-
-    def wspec(p):
-        return pl.BlockSpec(
-            (None, None, o, None, o, o),
-            lambda A, B, C, p=p: ((A, B, C)[p[0]], (A, B, C)[p[1]], 0,
-                                  (A, B, C)[p[2]], 0, 0),
-            memory_space=pltpu.VMEM)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda A, B, C: (0,) * len(shape),
@@ -158,17 +236,14 @@ def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, eijk,
     occ_specs = [pl.BlockSpec((None, None, 1, o),
                               lambda A, B, C, r=r: (r, (A, B, C)[r], 0, 0),
                               memory_space=pltpu.VMEM) for r in range(3)]
-
-    oovv_pair_specs = [pl.BlockSpec(
-        (None, None, None, None, o, o),
-        lambda A, B, C, r1=r1, r2=r2: (r1, r2, (A, B, C)[r1],
-                                       (A, B, C)[r2], 0, 0),
-        memory_space=pltpu.VMEM) for (r1, r2) in PAIRS]
+    occc_specs = [pl.BlockSpec((None, None, o, 1),
+                               lambda A, B, C, r=r: (r, (A, B, C)[r], 0, 0),
+                               memory_space=pltpu.VMEM) for r in range(3)]
 
     in_specs = ([smem, smem, smem]
-                + [wspec(p) for p in PERMS]
-                + vooo_specs + pair_specs + oovv_pair_specs
-                + occ_specs + occ_specs
+                + [_wspec(p, o) for p in PERMS]
+                + vooo_specs + pair_specs + pair_specs
+                + occ_specs + occ_specs + occc_specs + occc_specs
                 + [full((o, o, o)), full((o, o, o))])
     if actv is None:
         actv = jnp.zeros((3, T), dtype)
@@ -187,5 +262,6 @@ def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, eijk,
       t2p, t2p, t2p, t2p, t2p, t2p,
       oovv_t, oovv_t, oovv_t, oovv_t, oovv_t, oovv_t,
       t1_t, t1_t, t1_t, fvo_t, fvo_t, fvo_t,
+      t1c_t, t1c_t, t1c_t, fvoc_t, fvoc_t, fvoc_t,
       eijk, actocc)
     return out[0, 0]

@@ -1,0 +1,84 @@
+"""Runtime-library features: config, StreamObject, memory governor,
+DIIS spill/restore + driver restart."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pyscf_mpcc_tpu import config, gto
+from pyscf_mpcc_tpu.lib.diis import DIIS
+from pyscf_mpcc_tpu.lib import memory
+from pyscf_mpcc_tpu.scf import RHF
+
+
+def test_config_defaults_and_getattr():
+    assert config.getattr_cfg("CC_CONV_TOL") == config.CC_CONV_TOL
+    assert config.getattr_cfg("NOT_A_KEY", 42) == 42
+
+
+def test_stream_object_set_run_check_sanity():
+    mol = gto.M(atom="H 0 0 0; H 0 0 0.74", basis="sto-3g",
+                unit="angstrom")
+    mf = RHF(mol)
+    mf.kernel()
+    from pyscf_mpcc_tpu.cc.driver import CCSD
+    cc = CCSD(mf).set(conv_tol=1e-9, max_cycle=40)
+    assert cc.conv_tol == 1e-9
+    cc.run()
+    assert cc.converged
+    cc.check_sanity()          # no unknown attributes -> no warning
+    cc.fish = 1
+    with pytest.warns(UserWarning, match="fish"):
+        cc.check_sanity()
+
+
+def test_memory_governor_plans():
+    nt = memory.plan_ladder_ntile(32, 424, 1216, budget=14 * 2**30)
+    assert 424 % nt == 0
+    tiny = memory.plan_ladder_ntile(8, 64, 128, budget=14 * 2**30)
+    assert tiny == 1           # everything fits in one tile
+    t = memory.plan_triples_tile(32, 424, 1216, budget=14 * 2**30)
+    assert 4 <= t <= 16 and t % 2 == 0
+    # a tight budget must shrink the tile
+    t_small = memory.plan_triples_tile(32, 424, 1216, budget=4 * 2**30)
+    assert t_small <= t
+
+
+def test_diis_dump_restore_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    d = DIIS(space=4)
+    seq = [rng.standard_normal(10) for _ in range(5)]
+    outs = [d.update(v) for v in seq]
+    p = str(tmp_path / "ring.npz")
+    d.dump(p)
+    d2 = DIIS.restore(p)
+    nxt = rng.standard_normal(10)
+    ref = d.update(nxt.copy())
+    got = d2.update(nxt.copy())
+    np.testing.assert_allclose(got, ref, atol=1e-14)
+
+
+def test_ccsd_restart_from_diis_file(tmp_path):
+    mol = gto.M(atom="O 0 0 0.1173; H 0 0.7572 -0.4692; "
+                     "H 0 -0.7572 -0.4692",
+                basis="sto-3g", unit="angstrom")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    from pyscf_mpcc_tpu.cc.driver import CCSD
+    ref = CCSD(mf).set(conv_tol=1e-11, conv_tol_normt=1e-9).run()
+
+    p = str(tmp_path / "ccsd_diis.npz")
+    interrupted = CCSD(mf).set(conv_tol=1e-11, conv_tol_normt=1e-9)
+    interrupted.diis_file = p
+    interrupted.max_cycle = 5            # "preempted" early
+    interrupted.kernel()
+    assert not interrupted.converged
+    assert os.path.exists(p)
+
+    resumed = CCSD(mf).set(conv_tol=1e-11,
+                           conv_tol_normt=1e-9).restore_from_diis_(p)
+    resumed.kernel()
+    assert resumed.converged
+    assert abs(resumed.e_corr - ref.e_corr) < 1e-9
