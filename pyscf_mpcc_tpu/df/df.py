@@ -21,11 +21,15 @@ DEFAULT_AUXBASIS = "weigend"  # def2-universal-jfit
 
 
 def make_auxmol(mol, auxbasis=None):
-    """auxbasis: name string, per-element dict, or 'etb' for automatic
-    even-tempered generation (reference df/addons.py aug_etb)."""
+    """auxbasis: name string, per-element dict, 'etb' for automatic
+    even-tempered generation (reference df/addons.py aug_etb), or
+    'autoaux' for the ORCA AutoAux recipe (reference df/autoaux.py)."""
     if auxbasis == "etb":
         from pyscf_mpcc_tpu.df.addons import aug_etb
         auxbasis = aug_etb(mol)
+    elif auxbasis == "autoaux":
+        from pyscf_mpcc_tpu.df.autoaux import autoaux
+        auxbasis = autoaux(mol)
     aux = Mole(atom=[[s, c] for s, c in zip(mol.symbols, mol.coords)],
                basis=auxbasis or DEFAULT_AUXBASIS, unit="bohr",
                charge=mol.charge, spin=mol.spin, cart=mol.cart,
