@@ -1,3 +1,4 @@
 from pyscf_mpcc_tpu.cc.driver import CCSD, RCCSDDriver, UCCSDDriver
 from pyscf_mpcc_tpu.cc import (ccsd_t, eris, gccsd_slow, gccsd_t_slow,
                                lambda_ad, rccsd, uccsd)
+from pyscf_mpcc_tpu.cc.momgfccsd import MomGFCCSD
