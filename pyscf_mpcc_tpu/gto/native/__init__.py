@@ -163,6 +163,32 @@ def eri4c(mol):
     return out
 
 
+# kernel ids understood by md_eri4c_kern (mdint.cpp Kern)
+KERN_COULOMB = 0        # 1/r12
+KERN_GAUSS = 1          # exp(-gamma r12^2)
+KERN_GAUSS_COULOMB = 2  # exp(-gamma r12^2)/r12
+KERN_GAUSS_R2 = 3       # r12^2 exp(-gamma r12^2)
+
+
+def eri4c_kern(mol, kern_type, gamma):
+    """Full 4-center integrals of a generalized r12 kernel (chemists'
+    notation).  Used by the F12 machinery: Slater geminals are fitted
+    sums of KERN_GAUSS terms; Yukawa-like f12/r12 uses
+    KERN_GAUSS_COULOMB."""
+    lib = get_lib()
+    s = segment_shells(mol)
+    c2s, off = c2s_tables()
+    out = np.zeros((s["nao"],) * 4)
+    lib.md_eri4c_kern(
+        _ip(s["l"]), _ip(s["nprim"]), _ip(s["prim_off"]), _dp(s["exps"]),
+        _dp(s["coefs"]), _dp(s["centers"]), _ip(s["ao_off"]),
+        ctypes.c_int(s["nsh"]),
+        _dp(c2s), _lp(off), ctypes.c_int(1 if mol.cart else 0),
+        ctypes.c_int(s["nao"]), ctypes.c_int(int(kern_type)),
+        ctypes.c_double(float(gamma)), _dp(out))
+    return out
+
+
 def ovlp_kin(mol):
     lib = get_lib()
     s = segment_shells(mol)

@@ -97,13 +97,86 @@ void e_coeffs(int la, int lb, double a, double b, double AB, E1d& E) {
             }
 }
 
+// ----------------------------------------------------- two-electron kernels
+// Generalized interaction kernels f(r12) for the MD scheme.  The Hermite
+// R recursion is unchanged; only the fundamental ladder F[m] (and the
+// primitive-pair prefactor) depend on the kernel:
+//   F[m] = (-d/dT)^m Theta0(T),  T = rho |P-Q|^2,  rho = pq/(p+q)
+// Types: 0 Coulomb 1/r12 (Boys); 1 Gaussian geminal exp(-g r12^2),
+// Theta0 = exp(-sT), s = g/(rho+g); 2 Gaussian-damped Coulomb
+// exp(-g r12^2)/r12, Theta0 = exp(-sT) F0(bT), b = rho/(rho+g);
+// 3 r12^2 exp(-g r12^2) = -d/dg of type 1 (per unit type-1 prefactor):
+// Theta0 = exp(-sT) (3/(2(rho+g)) + T rho/(rho+g)^2).
+// Slater-type geminals (F12) enter as fitted sums of these kernels.
+struct Kern {
+    int type;
+    double gamma;
+};
+
+void kern_fvals(const Kern& k, int nmax, double rho, double T, double* F) {
+    if (k.type == 0) {
+        boys(nmax, T, F);
+        return;
+    }
+    double s = k.gamma / (rho + k.gamma);
+    if (k.type == 1) {
+        double e = std::exp(-s * T);
+        double f = 1.0;
+        for (int m = 0; m <= nmax; ++m) {
+            F[m] = f * e;
+            f *= s;
+        }
+        return;
+    }
+    if (k.type == 3) {
+        // Theta0 = e^{-sT} (A + B T); (-d/dT)^m: product rule on the
+        // linear-in-T factor
+        double rg = rho + k.gamma;
+        double A = 1.5 / rg;
+        double Bc = rho / (rg * rg);
+        double e = std::exp(-s * T);
+        double sm = 1.0;                       // s^m
+        for (int m = 0; m <= nmax; ++m) {
+            double smm1 = (m == 0) ? 0.0 : std::pow(s, m - 1);
+            F[m] = e * (sm * (A + Bc * T) - m * smm1 * Bc);
+            sm *= s;
+        }
+        return;
+    }
+    double b = rho / (rho + k.gamma);
+    double Fb[64];
+    boys(nmax, b * T, Fb);
+    double e = std::exp(-s * T);
+    for (int m = 0; m <= nmax; ++m) {
+        double acc = 0.0;
+        double C = 1.0;                       // binomial C(m, kk)
+        for (int kk = 0; kk <= m; ++kk) {
+            acc += C * std::pow(s, m - kk) * std::pow(b, kk) * Fb[kk];
+            C = C * (m - kk) / (kk + 1.0);
+        }
+        F[m] = acc * e;
+    }
+}
+
+double kern_pref(const Kern& k, double p, double q) {
+    if (k.type == 0)
+        return 2.0 * std::pow(M_PI, 2.5) / (p * q * std::sqrt(p + q));
+    double rho = p * q / (p + q);
+    if (k.type == 1 || k.type == 3)
+        return std::pow(M_PI, 3.0)
+               / std::pow((p + q) * (rho + k.gamma), 1.5);
+    return 2.0 * std::pow(M_PI, 2.5)
+           / (std::pow(p + q, 1.5) * (rho + k.gamma));
+}
+
 // --------------------------------------------- Hermite Coulomb R recursion
 // Computes R_{tuv} (n=0 level) for all t+u+v <= L into a (L+1)^3 box.
 void r_tensor(int L, double alpha, double X, double Y, double Z,
-              std::vector<double>& out, std::vector<double>& scratch) {
+              std::vector<double>& out, std::vector<double>& scratch,
+              const Kern& kern = Kern{0, 0.0}) {
     double T = alpha * (X * X + Y * Y + Z * Z);
     double F[64];
-    boys(L, T, F);
+    kern_fvals(kern, L, alpha, T, F);
     int n1 = L + 1;
     size_t box = (size_t)n1 * n1 * n1;
     // lev[m] boxes flattened into scratch
@@ -230,7 +303,8 @@ void build_pair(const Shells& sh, int ish, int jsh, PairData& pd) {
 void coulomb_block(const PairData& pa, const PairData& pb,
                    std::vector<double>& out,
                    std::vector<double>& mid,
-                   std::vector<double>& rbox, std::vector<double>& rscr) {
+                   std::vector<double>& rbox, std::vector<double>& rscr,
+                   const Kern& kern = Kern{0, 0.0}) {
     int L = pa.L + pb.L;
     int n1 = L + 1;
     size_t nherm_a = (size_t)pa.n1 * pa.n1 * pa.n1;
@@ -243,12 +317,11 @@ void coulomb_block(const PairData& pa, const PairData& pb,
         for (int jp = 0; jp < pb.nprim; ++jp) {
             double q = pb.p[jp];
             double alpha = p * q / (p + q);
-            double pref = 2.0 * std::pow(M_PI, 2.5)
-                        / (p * q * std::sqrt(p + q));
+            double pref = kern_pref(kern, p, q);
             double X = pa.P[ip * 3 + 0] - pb.P[jp * 3 + 0];
             double Y = pa.P[ip * 3 + 1] - pb.P[jp * 3 + 1];
             double Z = pa.P[ip * 3 + 2] - pb.P[jp * 3 + 2];
-            r_tensor(L, alpha, X, Y, Z, rbox, rscr);
+            r_tensor(L, alpha, X, Y, Z, rbox, rscr, kern);
             any = true;
             for (int xc = 0; xc < pb.cab; ++xc) {
                 size_t ebase = (size_t)xc * nherm_b * pb.nprim;
@@ -548,11 +621,12 @@ void md_eri2c(const int* l_x, const int* nprim_x, const int* prim_off_x,
 }
 
 // full 4-center (ij|kl): out shape (nao,nao,nao,nao).
-void md_eri4c(const int* l, const int* nprim, const int* prim_off,
-              const double* exps, const double* coefs, const double* centers,
-              const int* ao_off, int nsh,
-              const double* c2s_data, const long* c2s_off, int cart,
-              int nao, double* out) {
+void md_eri4c_kern(const int* l, const int* nprim, const int* prim_off,
+                   const double* exps, const double* coefs,
+                   const double* centers, const int* ao_off, int nsh,
+                   const double* c2s_data, const long* c2s_off, int cart,
+                   int nao, int kern_type, double kern_gamma, double* out) {
+    Kern kern{kern_type, kern_gamma};
     Shells sh{l, nprim, prim_off, exps, coefs, centers, ao_off, nsh};
     C2S c2s{c2s_data, c2s_off, cart};
     std::vector<std::pair<int, int>> pairs;
@@ -574,7 +648,7 @@ void md_eri4c(const int* l, const int* nprim, const int* prim_off,
             for (long t2i = 0; t2i <= t1i; ++t2i) {
                 const PairData& pa = pds[t1i];
                 const PairData& pb = pds[t2i];
-                coulomb_block(pa, pb, blk, mid, rbox, rscr);
+                coulomb_block(pa, pb, blk, mid, rbox, rscr, kern);
                 // blk: [cab][ccd] -> sph both sides
                 int nsa = nsph(pa.la, cart), nsb = nsph(pa.lb, cart);
                 int nsc = nsph(pb.la, cart), nsd = nsph(pb.lb, cart);
@@ -616,6 +690,15 @@ void md_eri4c(const int* l, const int* nprim, const int* prim_off,
             }
         }
     }
+}
+
+void md_eri4c(const int* l, const int* nprim, const int* prim_off,
+              const double* exps, const double* coefs, const double* centers,
+              const int* ao_off, int nsh,
+              const double* c2s_data, const long* c2s_off, int cart,
+              int nao, double* out) {
+    md_eri4c_kern(l, nprim, prim_off, exps, coefs, centers, ao_off, nsh,
+                  c2s_data, c2s_off, cart, nao, 0, 0.0, out);
 }
 
 }  // extern "C"

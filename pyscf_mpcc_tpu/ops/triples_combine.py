@@ -63,92 +63,122 @@ W_PLAN = {
 }
 
 
+def _w_cell(p, blk, c):
+    """Canonical (o,o,o) block of column cell ``c`` from a W column value
+    (the role-2 tile dim is fetched whole; see _wspec)."""
+    xi, yi, zi = p
+    if W_PLAN[p]["order"] == "ov_first":
+        # column dims: [T (role-2 among x/y)] i [T (z if role-2)] P1 P2
+        out = blk[c] if (xi == 2 or yi == 2) else blk[:, c]
+        return (jnp.transpose(out, (1, 0, 2))
+                if W_PLAN[p]["swap"] else out)
+    return blk[c]                       # t2_first: (T, P1, P2, i)
+
+
 def _combine_kernel(o, T, act_mode, dtype, refs):
+    """Column kernel: one invocation per (A, B) pair processes all T
+    C-cells (amortizes per-grid-cell dispatch, measured 2.3x on v5e vs
+    the cell-grid variant at (H2O)8 scale)."""
     (gabc_ref, evt_ref, actv_ref, w_refs, vooo_refs, t2p_refs, oovv_refs,
      t1_refs, fvo_refs, t1c_refs, fvoc_refs, eijk_ref, actocc_ref,
      out_ref) = refs
     A = pl.program_id(0)
     B = pl.program_id(1)
-    C = pl.program_id(2)
+    etot = jnp.zeros((), dtype)
+    # one VMEM read per ref per invocation; cells slice the values
+    wv = [w_refs[pi][...] for pi in range(6)]
+    t2pv = [t2p_refs[k][...] for k in range(6)]
+    oovvv = [oovv_refs[k][...] for k in range(6)]
+    voov = [vooo_refs[r][...] for r in range(3)]
+    t1v = [t1_refs[r][...] for r in range(3)]
+    fvov = [fvo_refs[r][...] for r in range(3)]
+    t1cv = [t1c_refs[r][...] for r in range(3)]
+    fvocv = [fvoc_refs[r][...] for r in range(3)]
+    eijkv = eijk_ref[...]
+    actoccv = actocc_ref[...] if act_mode is not None else None
 
-    # ---- W1: blocks are already canonical up to a non-minor (1,0,2) swap
-    accW = jnp.zeros((o, o, o), dtype)
-    for pi, p in enumerate(PERMS):
-        blk = w_refs[pi][...]
-        accW = accW + (jnp.transpose(blk, (1, 0, 2))
-                       if W_PLAN[p]["swap"] else blk)
+    def pair_cell(vals, r1, r2, c):
+        # (o, o) when neither role is 2, else (T, o, o) with the single
+        # surviving tile dim leading (block squeeze preserves order)
+        blk = vals[PAIRS.index((r1, r2))]
+        return blk[c] if (r1 == 2 or r2 == 2) else blk
 
-    # ---- W2 (vooo . t2) and the V term, built directly in canonical
-    # orientation via broadcast placement (no lane-crossing transposes
-    # except the unavoidable w2 inv permutes)
-    accV = jnp.zeros((o, o, o), dtype)
-    for pi, p in enumerate(PERMS):
-        xi, yi, zi = p
-        inv = (p.index(0), p.index(1), p.index(2))
-        # w2[i',j',k'] = sum_m vooo[x][(i',j'),m] t2[m,k' | z,y]
-        t2mk = t2p_refs[PAIRS.index((zi, yi))][:, :]
-        w2b = jax.lax.dot_general(
-            vooo_refs[xi][:, :], t2mk, (((1,), (0,)), ((), ())),
-            preferred_element_type=dtype).reshape(o, o, o)
-        accW = accW - jnp.transpose(w2b, inv)
-        # v = ((i'x|j'y) t1[k',z] + t2[j',i'|y,x] fvo[z,k']) / 2, placed
-        # on canonical axes: source occupied d lands at pos[d]=inv.index(d)
-        oovv_ij = oovv_refs[PAIRS.index((xi, yi))][:, :]
-        t2ij = t2p_refs[PAIRS.index((yi, xi))][:, :]
-        pos = (inv.index(0), inv.index(1), inv.index(2))
-        if pos[0] < pos[1]:
-            a = jnp.expand_dims(oovv_ij, axis=pos[2])
-            c = jnp.expand_dims(t2ij, axis=pos[2])
-        else:
-            a = jnp.expand_dims(oovv_ij.T, axis=pos[2])
-            c = jnp.expand_dims(t2ij.T, axis=pos[2])
-        # the k' factor broadcasts along axis pos[2]; fetch it in the
-        # orientation that avoids a cross-lane relayout
-        if pos[2] == 2:
-            b = t1_refs[zi][0, :][None, None, :]
-            d = fvo_refs[zi][0, :][None, None, :]
-        elif pos[2] == 1:
-            b = jnp.expand_dims(t1c_refs[zi][:, :], 0)
-            d = jnp.expand_dims(fvoc_refs[zi][:, :], 0)
-        else:
-            b = jnp.expand_dims(t1c_refs[zi][:, :], 2)
-            d = jnp.expand_dims(fvoc_refs[zi][:, :], 2)
-        accV = accV + 0.5 * (a * b + c * d)
+    def occ_cell(vals, r, c):
+        return vals[r][c] if r == 2 else vals[r]
 
-    V = accV + accW
-    Z = (4.0 * V
-         + jnp.transpose(V, (1, 2, 0))
-         + jnp.transpose(V, (2, 0, 1))
-         - 2.0 * jnp.transpose(V, (2, 1, 0))
-         - 2.0 * jnp.transpose(V, (0, 2, 1))
-         - 2.0 * jnp.transpose(V, (1, 0, 2)))
+    for c in range(T):
+        # ---- W1: canonical up to a non-minor (1,0,2) swap
+        accW = jnp.zeros((o, o, o), dtype)
+        for pi, p in enumerate(PERMS):
+            accW = accW + _w_cell(p, wv[pi], c)
+        # ---- W2 (vooo . t2) and the V term in canonical orientation
+        accV = jnp.zeros((o, o, o), dtype)
+        for pi, p in enumerate(PERMS):
+            xi, yi, zi = p
+            inv = (p.index(0), p.index(1), p.index(2))
+            t2mk = pair_cell(t2pv, zi, yi, c)
+            vb = voov[xi][c] if xi == 2 else voov[xi]
+            w2b = jax.lax.dot_general(
+                vb, t2mk, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype).reshape(o, o, o)
+            accW = accW - jnp.transpose(w2b, inv)
+            # v = ((i'x|j'y) t1[k',z] + t2[j',i'|y,x] fvo[z,k'])/2 placed
+            # on canonical axes: source occupied d lands at inv.index(d)
+            oovv_ij = pair_cell(oovvv, xi, yi, c)
+            t2ij = pair_cell(t2pv, yi, xi, c)
+            pos = (inv.index(0), inv.index(1), inv.index(2))
+            if pos[0] < pos[1]:
+                a = jnp.expand_dims(oovv_ij, axis=pos[2])
+                cc = jnp.expand_dims(t2ij, axis=pos[2])
+            else:
+                a = jnp.expand_dims(oovv_ij.T, axis=pos[2])
+                cc = jnp.expand_dims(t2ij.T, axis=pos[2])
+            # k' factor broadcast along pos[2], fetched in the
+            # orientation that avoids a cross-lane relayout
+            if pos[2] == 2:
+                b = occ_cell(t1v, zi, c)[0, :][None, None, :]
+                d = occ_cell(fvov, zi, c)[0, :][None, None, :]
+            elif pos[2] == 1:
+                b = jnp.expand_dims(occ_cell(t1cv, zi, c)[:, :], 0)
+                d = jnp.expand_dims(occ_cell(fvocv, zi, c)[:, :], 0)
+            else:
+                b = jnp.expand_dims(occ_cell(t1cv, zi, c)[:, :], 2)
+                d = jnp.expand_dims(occ_cell(fvocv, zi, c)[:, :], 2)
+            accV = accV + 0.5 * (a * b + cc * d)
 
-    eabc = evt_ref[0, A] + evt_ref[1, B] + evt_ref[2, C]
-    denom = eijk_ref[:, :, :] - eabc
-    zd = Z / denom
+        V = accV + accW
+        Z = (4.0 * V
+             + jnp.transpose(V, (1, 2, 0))
+             + jnp.transpose(V, (2, 0, 1))
+             - 2.0 * jnp.transpose(V, (2, 1, 0))
+             - 2.0 * jnp.transpose(V, (0, 2, 1))
+             - 2.0 * jnp.transpose(V, (1, 0, 2)))
 
-    if act_mode is not None:
-        af = actv_ref[0, A] * actv_ref[1, B] * actv_ref[2, C]
-        act6 = af * actocc_ref[:, :, :]
-        zd = zd * ((1.0 - act6) if act_mode == "exclude_active" else act6)
+        eabc = evt_ref[0, A] + evt_ref[1, B] + evt_ref[2, c]
+        zd = Z / (eijkv - eabc)
+        if act_mode is not None:
+            af = actv_ref[0, A] * actv_ref[1, B] * actv_ref[2, c]
+            act6 = af * actoccv
+            zd = zd * ((1.0 - act6) if act_mode == "exclude_active"
+                       else act6)
+        ga = gabc_ref[0, A]
+        gb = gabc_ref[1, B]
+        gc = gabc_ref[2, c]
+        wgt = jnp.where((ga > gb) & (gb > gc), 1.0,
+                        jnp.where((ga == gb) & (gb == gc), 1.0 / 6.0,
+                                  jnp.where((ga >= gb) & (gb >= gc),
+                                            0.5, 0.0)))
+        etot = etot + jnp.sum(accW * zd) * wgt.astype(dtype)
 
-    ga = gabc_ref[0, A]
-    gb = gabc_ref[1, B]
-    gc = gabc_ref[2, C]
-    wgt = jnp.where((ga > gb) & (gb > gc), 1.0,
-                    jnp.where((ga == gb) & (gb == gc), 1.0 / 6.0,
-                              jnp.where((ga >= gb) & (gb >= gc), 0.5, 0.0)))
-    e = jnp.sum(accW * zd) * wgt.astype(dtype)
-
-    first = (A == 0) & (B == 0) & (C == 0)
+    first = (A == 0) & (B == 0)
 
     @pl.when(first)
     def _():
-        out_ref[0, 0] = e
+        out_ref[0, 0] = etot
 
     @pl.when(jnp.logical_not(first))
     def _():
-        out_ref[0, 0] = out_ref[0, 0] + e
+        out_ref[0, 0] = out_ref[0, 0] + etot
 
 
 def _kernel_entry(o, T, act_mode, dtype, gabc, evt, actv, *rest):
@@ -186,20 +216,27 @@ def emit_w_dot(p, ovb, t2op, dtype, T, o):
     return w.reshape(T, T, T, o, o, o)            # (z, x, y, P1, P2, i)
 
 
-def _wspec(p, o):
+def _gid(role, A, B):
+    """Block id for a tile dim: grid coordinate, or 0 when the dim is
+    the whole C column."""
+    return (A, B)[role] if role != 2 else 0
+
+
+def _wspec(p, o, T):
     xi, yi, zi = p
     if W_PLAN[p]["order"] == "ov_first":
-        # array (x, y, i, z, P1, P2); unit ids: x<-role xi, y<-yi, z<-zi
+        # array (x, y, i, z, P1, P2); role-2 dim fetched whole
         return pl.BlockSpec(
-            (None, None, o, None, o, o),
-            lambda A, B, C, xi=xi, yi=yi, zi=zi: (
-                (A, B, C)[xi], (A, B, C)[yi], 0, (A, B, C)[zi], 0, 0),
+            (T if xi == 2 else None, T if yi == 2 else None, o,
+             T if zi == 2 else None, o, o),
+            lambda A, B, xi=xi, yi=yi, zi=zi: (
+                _gid(xi, A, B), _gid(yi, A, B), 0, _gid(zi, A, B), 0, 0),
             memory_space=pltpu.VMEM)
-    # array (z, x, y, P1, P2, i)
+    # array (z, x, y, P1, P2, i); x always carries role 2 here
     return pl.BlockSpec(
-        (None, None, None, o, o, o),
-        lambda A, B, C, xi=xi, yi=yi, zi=zi: (
-            (A, B, C)[zi], (A, B, C)[xi], (A, B, C)[yi], 0, 0, 0),
+        (T if zi == 2 else None, T, None, o, o, o),
+        lambda A, B, xi=xi, yi=yi, zi=zi: (
+            _gid(zi, A, B), 0, _gid(yi, A, B), 0, 0, 0),
         memory_space=pltpu.VMEM)
 
 
@@ -221,27 +258,30 @@ def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
     dtype = w_list[0].dtype
 
     def full(shape):
-        return pl.BlockSpec(shape, lambda A, B, C: (0,) * len(shape),
+        return pl.BlockSpec(shape, lambda A, B: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vooo_specs = [pl.BlockSpec((None, None, o * o, o),
-                               lambda A, B, C, r=r: (r, (A, B, C)[r], 0, 0),
-                               memory_space=pltpu.VMEM) for r in range(3)]
+    vooo_specs = [pl.BlockSpec(
+        (None, T if r == 2 else None, o * o, o),
+        lambda A, B, r=r: (r, _gid(r, A, B), 0, 0),
+        memory_space=pltpu.VMEM) for r in range(3)]
     pair_specs = [pl.BlockSpec(
-        (None, None, None, None, o, o),
-        lambda A, B, C, r1=r1, r2=r2: (r1, r2, (A, B, C)[r1],
-                                       (A, B, C)[r2], 0, 0),
+        (None, None, T if r1 == 2 else None, T if r2 == 2 else None, o, o),
+        lambda A, B, r1=r1, r2=r2: (r1, r2, _gid(r1, A, B),
+                                    _gid(r2, A, B), 0, 0),
         memory_space=pltpu.VMEM) for (r1, r2) in PAIRS]
-    occ_specs = [pl.BlockSpec((None, None, 1, o),
-                              lambda A, B, C, r=r: (r, (A, B, C)[r], 0, 0),
-                              memory_space=pltpu.VMEM) for r in range(3)]
-    occc_specs = [pl.BlockSpec((None, None, o, 1),
-                               lambda A, B, C, r=r: (r, (A, B, C)[r], 0, 0),
-                               memory_space=pltpu.VMEM) for r in range(3)]
+    occ_specs = [pl.BlockSpec(
+        (None, T if r == 2 else None, 1, o),
+        lambda A, B, r=r: (r, _gid(r, A, B), 0, 0),
+        memory_space=pltpu.VMEM) for r in range(3)]
+    occc_specs = [pl.BlockSpec(
+        (None, T if r == 2 else None, o, 1),
+        lambda A, B, r=r: (r, _gid(r, A, B), 0, 0),
+        memory_space=pltpu.VMEM) for r in range(3)]
 
     in_specs = ([smem, smem, smem]
-                + [_wspec(p, o) for p in PERMS]
+                + [_wspec(p, o, T) for p in PERMS]
                 + vooo_specs + pair_specs + pair_specs
                 + occ_specs + occ_specs + occc_specs + occc_specs
                 + [full((o, o, o)), full((o, o, o))])
@@ -250,13 +290,17 @@ def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
         actocc = jnp.zeros((o, o, o), dtype)
 
     kernel = partial(_kernel_entry, o, T, act_mode, dtype)
+    extra = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
     out = pl.pallas_call(
         kernel,
-        grid=(T, T, T),
+        grid=(T, T),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
         interpret=interpret,
+        **extra,
     )(gabc, evt, actv, *w_list,
       vooo_t, vooo_t, vooo_t,
       t2p, t2p, t2p, t2p, t2p, t2p,
