@@ -1,1 +1,3 @@
-from pyscf_mpcc_tpu.mp import mp2
+from pyscf_mpcc_tpu.mp import mp2, ump2, gmp2
+from pyscf_mpcc_tpu.mp.dfmp2 import DFRMP2, SCSDFRMP2
+from pyscf_mpcc_tpu.mp.gmp2 import GMP2

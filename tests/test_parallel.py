@@ -56,3 +56,37 @@ def test_sharded_ccsd_t_matches_single_device():
     mesh = make_mesh(8)
     e_sharded = ccsd_t.kernel(t1, t2, er, tile=5, mesh=mesh)
     assert abs(e_single - e_sharded) < 1e-12
+
+
+def test_sharded_device_diis_matches_replicated():
+    """The on-device DIIS ring riding the mesh sharding (VERDICT weak #5):
+    with the history sharded along the amplitude axis, the jitted update
+    (B-matrix dots + filtered solve + extrapolation) must agree with the
+    replicated run and keep its outputs sharded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pyscf_mpcc_tpu.lib import device_diis
+    from pyscf_mpcc_tpu.parallel import make_mesh
+
+    n = 8 * 64
+    rng = np.random.default_rng(0)
+    mesh = make_mesh(8)
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(None, axis))
+    vshard = NamedSharding(mesh, P(axis))
+
+    state_r = device_diis.init(n, space=4, dtype=jnp.float64)
+    state_s = jax.tree.map(
+        lambda a: jax.device_put(a, shard) if a.ndim == 2 else a, state_r)
+    for it in range(6):
+        x = jnp.asarray(rng.standard_normal(n))
+        e = jnp.asarray(rng.standard_normal(n) * 0.1 ** it)
+        state_r, out_r = device_diis.update(state_r, x, e)
+        state_s, out_s = device_diis.update(
+            state_s, jax.device_put(x, vshard), jax.device_put(e, vshard))
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_r),
+                                   atol=1e-10)
+    # the sharded history stays sharded (no silent full replication)
+    assert not state_s.xs.sharding.is_fully_replicated
