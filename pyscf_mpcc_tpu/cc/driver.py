@@ -156,11 +156,47 @@ class RCCSDDriver(StreamObject):
                                       nroots=nroots, tol=tol)
         return e
 
+    def eomsf_ccsd(self, nroots=2, tol=1e-6):
+        """Lowest spin-flip EE-EOM-CCSD roots (Ms -> -1 sector), via the
+        spin-orbital Jacobian (reference eom_rccsd EOMEESpinFlip role);
+        small-system tier (spin-orbital einsums)."""
+        from pyscf_mpcc_tpu.cc import eom, gccsd_slow
+        er = gccsd_slow.eris_from_scf(self._scf, frozen=self.frozen)
+        _, t1g, t2g, _ = gccsd_slow.kernel(er, conv_tol=1e-10,
+                                           conv_tol_normt=1e-8)
+        conv, e, vecs = eom.kernel_sf(t1g, t2g, er, nroots=nroots, tol=tol)
+        return e
+
     def dump_chk(self, path, key="ccsd"):
         """Checkpoint the solution (reference cc/ccsd.py:1318 payload)."""
         from pyscf_mpcc_tpu.lib import chkfile
         chkfile.dump_cc(path, self.e_corr, self.t1, self.t2,
                         mo_coeff=self.mo_coeff, key=key)
+
+    # ---------------------------------------------------- diagnostics
+    def get_t1_diagnostic(self):
+        """T1 amplitude norm per correlated electron
+        (reference cc/ccsd.py:798)."""
+        t1 = np.asarray(self.t1)
+        return float(np.sqrt(np.linalg.norm(t1) ** 2 / (2 * t1.shape[0])))
+
+    def get_d1_diagnostic(self):
+        """D1 diagnostic, Janssen et al. CPL 290 (1998) 423
+        (reference cc/ccsd.py:803)."""
+        t1 = np.asarray(self.t1)
+        dij = np.linalg.eigvalsh(np.einsum("ia,ja->ij", t1, t1)).max()
+        dab = np.linalg.eigvalsh(np.einsum("ia,ib->ab", t1, t1)).max()
+        return float(np.sqrt(max(dij, dab)))
+
+    def get_d2_diagnostic(self):
+        """D2 diagnostic, Nielsen et al. CPL 310 (1999) 568
+        (reference cc/ccsd.py:814)."""
+        t2 = np.asarray(self.t2)
+        dij = np.linalg.eigvalsh(
+            np.einsum("ikab,jkab->ij", t2, t2)).max()
+        dab = np.linalg.eigvalsh(
+            np.einsum("ijac,ijbc->ab", t2, t2)).max()
+        return float(np.sqrt(max(dij, dab)))
 
     def restore_from_diis_(self, path):
         """Resume iteration from a spilled DIIS ring (.npz written via

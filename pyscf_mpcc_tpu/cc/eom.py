@@ -482,3 +482,85 @@ def kernel_ea_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
     x0 = _guesses(diag, nva, nroots)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
                     max_cycle=max_cycle, verbose=verbose, pick="follow")
+
+
+# ---------------------------------------------------------------------------
+# Spin-flip EE-EOM (Ms = -1 sector) over the spin-orbital Jacobian.
+#
+# Role of the reference's EOMEESpinFlip (pyscf/cc/eom_rccsd.py SF classes):
+# target Ms = +-1 states from a closed- or open-shell reference.  The
+# spin-adapted EE machinery above covers only Ms = 0; here the sigma is
+# the directional derivative of the SPIN-ORBITAL residual (gccsd_slow),
+# restricted to the Delta-Ms = -1 amplitude blocks (Hbar conserves Ms, so
+# projecting input and output onto the sector is exact).  The residual is
+# a quartic polynomial in t, so a central difference gives the Jacobian
+# action to O(eps^2 * |r|^3) — machine-precision-grade at eps ~ 1e-5 in
+# fp64.  Small-system tier by construction (spin-orbital einsums).
+# ---------------------------------------------------------------------------
+def _gccsd_residual(t1, t2, eris):
+    from pyscf_mpcc_tpu.cc import gccsd_slow
+    nocc = eris.nocc
+    f = eris.fock
+    eo = np.diag(f)[:nocc]
+    ev = np.diag(f)[nocc:]
+    d1 = eo[:, None] - ev[None, :]
+    d2 = (eo[:, None, None, None] + eo[None, :, None, None]
+          - ev[None, None, :, None] - ev[None, None, None, :])
+    t1n, t2n = gccsd_slow.update_amps(t1, t2, eris)
+    return (t1n - t1) * d1, (t2n - t2) * d2
+
+
+def kernel_sf(t1, t2, eris_so, nroots=2, tol=1e-6, max_cycle=100,
+              verbose=0, eps=1e-5):
+    """Lowest spin-flip (Ms: 0 -> -1) EE-EOM-CCSD roots.
+
+    t1, t2: converged SPIN-ORBITAL amplitudes; eris_so: a
+    gccsd_slow.SpinOrbERIs (carries per-spin-orbital labels).
+    Returns (conv, e_sf, vectors)."""
+    nocc, nvir = t1.shape
+    so = np.asarray(eris_so.spins[:nocc])
+    sv = np.asarray(eris_so.spins[nocc:])
+    # Delta-Ms = -1 blocks: one net alpha->beta flip
+    m1 = (sv[None, :] - so[:, None]) == 1
+    m2 = ((sv[None, None, :, None] + sv[None, None, None, :]
+           - so[:, None, None, None] - so[None, :, None, None]) == 1)
+    n1 = nocc * nvir
+
+    f = eris_so.fock
+    eo = np.diag(f)[:nocc]
+    ev = np.diag(f)[nocc:]
+    diag1 = (ev[None, :] - eo[:, None])
+    diag2 = (ev[None, None, :, None] + ev[None, None, None, :]
+             - eo[:, None, None, None] - eo[None, :, None, None])
+    diag = np.concatenate([np.where(m1, diag1, 1e6).ravel(),
+                           np.where(m2, diag2, 1e6).ravel()])
+
+    def proj(x):
+        """Idempotent projector onto the antisymmetric Delta-Ms block."""
+        r1 = np.where(m1, x[:n1].reshape(nocc, nvir), 0.0)
+        r2 = x[n1:].reshape(t2.shape)
+        r2 = 0.5 * (r2 - r2.transpose(1, 0, 2, 3))
+        r2 = 0.5 * (r2 - r2.transpose(0, 1, 3, 2))
+        r2 = np.where(m2, r2, 0.0)
+        return r1, r2
+
+    def matvec(x):
+        r1, r2 = proj(x)
+        p1, q1 = _gccsd_residual(t1 + eps * r1, t2 + eps * r2, eris_so)
+        p2, q2 = _gccsd_residual(t1 - eps * r1, t2 - eps * r2, eris_so)
+        s1 = np.where(m1, (p1 - p2) / (2 * eps), 0.0)
+        s2 = 0.5 * ((q1 - q2) - (q1 - q2).transpose(1, 0, 2, 3))
+        s2 = np.where(m2, 0.5 * (s2 - s2.transpose(0, 1, 3, 2)), 0.0)
+        return np.concatenate([s1.ravel(), s2.ravel() / (2 * eps)])
+
+    # project guesses into the antisymmetric sector so Davidson never
+    # sees the (null) symmetric complement
+    x0 = []
+    for v in _guesses(diag, n1, nroots):
+        r1, r2 = proj(v)
+        w = np.concatenate([r1.ravel(), r2.ravel()])
+        nrm = np.linalg.norm(w)
+        if nrm > 1e-8:
+            x0.append(w / nrm)
+    return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
+                    max_cycle=max_cycle, verbose=verbose, pick="follow")

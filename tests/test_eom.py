@@ -95,3 +95,34 @@ def test_ee_eom_uccsd_matches_det_fci():
     for k in range(4):
         assert convs[k]
         assert np.min(np.abs(gaps - omegas[k])) < 1e-6
+
+
+def test_spin_flip_matches_triplet_ms_degeneracy():
+    """SF-EOM (Ms=-1) roots from a closed-shell reference must be
+    degenerate with the Ms=0 triplet roots of the spin-blocked EE
+    solver — the defining spin-symmetry check for kernel_sf."""
+    import numpy as np
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.scf import RHF
+    from pyscf_mpcc_tpu.cc import eom, gccsd_slow
+    from pyscf_mpcc_tpu.cc.driver import UCCSDDriver
+
+    mol = gto.M(atom="O 0 0 0.1173; H 0 0.7572 -0.4692; "
+                     "H 0 -0.7572 -0.4692",
+                basis="sto-3g", unit="angstrom")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+
+    er = gccsd_slow.eris_from_scf(mf)
+    _, t1g, t2g, _ = gccsd_slow.kernel(er, conv_tol=1e-11,
+                                       conv_tol_normt=1e-9)
+    conv, e_sf, _ = eom.kernel_sf(t1g, t2g, er, nroots=1, tol=1e-7)
+    assert conv[0]
+
+    cc = UCCSDDriver(mf).set(conv_tol=1e-11, conv_tol_normt=1e-9)
+    cc.kernel()
+    _, e_ee, _ = eom.kernel_ee_u(cc.t1, cc.t2, cc.eris, nroots=2,
+                                 tol=1e-7)
+    # lowest EE root of the spin-blocked solver is the Ms=0 triplet
+    assert abs(e_sf[0] - e_ee[0]) < 5e-6
