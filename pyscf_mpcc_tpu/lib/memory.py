@@ -73,22 +73,23 @@ def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None):
 
 
 def plan_triples_tile(nocc, nvir, naux, dtype="float32", budget=None,
-                      max_tile=16):
+                      max_tile=8):
     """Tile edge for the fused CCSD(T) engine (cc/ccsd_t.kernel).
 
-    Per-tile live set: six W dot outputs of (T^3 * nocc^3) elements each
-    (written once by XLA, read once by the Pallas combine), the six ov
-    blocks (T^2 nocc nvir), and the persistent t2/oovv/L tensors.
-    Picks the largest even T <= max_tile that fits; minimum 4.
-    """
+    Per-tile live set: six W dot outputs of (T^3 * nocc^3) elements each,
+    double-buffered across the XLA-write/Pallas-read boundary plus dot
+    workspace (factor 4 total, calibrated on v5e: tile=8 fits at
+    (H2O)8/cc-pVTZ, tile=12 exhausts HBM), the six ov blocks, and the
+    persistent t2T/t2Ts/oovv_T/L tensors.  Picks the largest even
+    T <= max_tile that fits; minimum 4."""
     isz = _itemsize(dtype)
     budget = budget if budget is not None else hbm_budget_bytes()
-    persistent = (2 * nvir * nvir * nocc * nocc      # t2T + oovv
+    persistent = (3 * nvir * nvir * nocc * nocc      # t2T + t2Ts + oovv_T
                   + naux * nvir * nvir + naux * nocc * nvir) * isz
     avail = max(budget - persistent, budget // 8)
     best = 4
     for T in range(4, max_tile + 1, 2):
-        live = (6 * T**3 * nocc**3 + 6 * T * T * nocc * nvir) * isz * 2
+        live = (6 * T**3 * nocc**3 + 6 * T * T * nocc * nvir) * isz * 4
         if live <= avail:
             best = T
     return best
