@@ -402,3 +402,23 @@ class MomGFCCSD:
         w = np.einsum("xk,xk->k", self.vp[0], self.vp[1].conj()).real
         mask = w > weight_tol
         return np.sort(self.ep[mask].real)[:nroots], w[mask]
+
+
+    def dump_chk(self, path, key="gfccsd"):
+        """Persist poles/weights (reference momgfccsd.dump_chk :797)."""
+        from pyscf_mpcc_tpu.lib import chkfile
+        chkfile.save(path, key, {
+            "eh": np.asarray(self.eh), "ep": np.asarray(self.ep),
+            "vh0": np.asarray(self.vh[0]), "vh1": np.asarray(self.vh[1]),
+            "vp0": np.asarray(self.vp[0]), "vp1": np.asarray(self.vp[1]),
+            "niter": np.asarray(self.niter)})
+
+    def update_from_chk_(self, path, key="gfccsd"):
+        """Reload a previously computed pole set
+        (reference momgfccsd.update_from_chk_ :811)."""
+        from pyscf_mpcc_tpu.lib import chkfile
+        d = chkfile.load(path, key)
+        self.eh, self.ep = d["eh"], d["ep"]
+        self.vh = (d["vh0"], d["vh1"])
+        self.vp = (d["vp0"], d["vp1"])
+        return self

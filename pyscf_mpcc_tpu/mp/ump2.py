@@ -115,3 +115,50 @@ def scs_energy(eris, css=1.0 / 3.0, cos=1.2):
                  + 0.25 * jnp.einsum("ijab,ijab->", t2[2], gbb))
     e_os = float(jnp.einsum("ijab,ijab->", t2[1], gab))
     return css * e_ss + cos * e_os, e_ss, e_os
+
+
+def df_kernel(mo_energy, Lov_a, Lov_b):
+    """DF-UMP2 from per-spin 3-center MO factors (reference mp/dfump2.py
+    role): mo_energy = ((eoa, eva), (eob, evb)); Lov_s = B[L, i_s, a_s].
+
+    Returns (e_total, (e_aa, e_ab, e_bb))."""
+    (eoa, eva), (eob, evb) = mo_energy
+    gaa = jnp.einsum("Lia,Ljb->iajb", Lov_a, Lov_a)
+    gbb = jnp.einsum("Lia,Ljb->iajb", Lov_b, Lov_b)
+    gab = jnp.einsum("Lia,Ljb->iajb", Lov_a, Lov_b)
+
+    def d(eo1, ev1, eo2, ev2):
+        return (eo1[:, None, None, None] - ev1[None, :, None, None]
+                + eo2[None, None, :, None] - ev2[None, None, None, :])
+
+    taa = (gaa - gaa.transpose(0, 3, 2, 1)) / d(eoa, eva, eoa, eva)
+    tbb = (gbb - gbb.transpose(0, 3, 2, 1)) / d(eob, evb, eob, evb)
+    tab = gab / d(eoa, eva, eob, evb)
+    e_aa = 0.25 * jnp.einsum("iajb,iajb->", taa,
+                             gaa - gaa.transpose(0, 3, 2, 1))
+    e_bb = 0.25 * jnp.einsum("iajb,iajb->", tbb,
+                             gbb - gbb.transpose(0, 3, 2, 1))
+    e_ab = jnp.einsum("iajb,iajb->", tab, gab)
+    return (float(e_aa + e_bb + e_ab),
+            (float(e_aa), float(e_ab), float(e_bb)))
+
+
+def df_kernel_from_scf(mf, frozen=0):
+    """DF-UMP2 driver from a (UHF or RHF) mean field carrying a DF object."""
+    import numpy as _np
+    B = jnp.asarray(mf.with_df.B_ao())
+    mo = _np.asarray(mf.mo_coeff)
+    moe = _np.asarray(mf.mo_energy)
+    if mo.ndim == 2:
+        mo = _np.array([mo, mo])
+        moe = _np.array([moe, moe])
+    na, nb = mf.mol.nelec
+    f = int(frozen or 0)
+    Ls = []
+    ens = []
+    for s, no in ((0, na), (1, nb)):
+        co = jnp.asarray(mo[s][:, f:no])
+        cv = jnp.asarray(mo[s][:, no:])
+        Ls.append(jnp.einsum("Lpq,pi,qa->Lia", B, co, cv))
+        ens.append((jnp.asarray(moe[s][f:no]), jnp.asarray(moe[s][no:])))
+    return df_kernel((ens[0], ens[1]), Ls[0], Ls[1])

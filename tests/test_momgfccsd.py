@@ -69,3 +69,17 @@ def test_hermitian_solver_runs(cc):
     ips, _ = gf.ipgfccsd(nroots=1)
     e_ip = cc.ipccsd(nroots=1)[0]
     assert abs(ips[0] - e_ip) < 5e-2
+
+
+def test_chk_roundtrip(cc, tmp_path):
+    from pyscf_mpcc_tpu.cc.momgfccsd import MomGFCCSD
+    gf = MomGFCCSD(cc, niter=(1, 1))
+    gf.kernel()
+    p = str(tmp_path / "gf.h5")
+    gf.dump_chk(p)
+    gf2 = MomGFCCSD(cc, niter=(1, 1)).update_from_chk_(p)
+    np.testing.assert_allclose(np.asarray(gf2.eh), np.asarray(gf.eh),
+                               atol=1e-12)
+    ips1, _ = gf.ipgfccsd(nroots=1)
+    ips2, _ = gf2.ipgfccsd(nroots=1)
+    assert abs(ips1[0] - ips2[0]) < 1e-12

@@ -84,3 +84,28 @@ def test_etb_auxbasis_dfmp2():
     e, _ = mp2.df_kernel(jnp.asarray(d["mo_energy"][:5]),
                          jnp.asarray(d["mo_energy"][5:]), jnp.asarray(Lov))
     assert abs(float(e) - E_MP2) < 1e-4
+
+
+def test_df_ump2_matches_incore_on_rhf_reference():
+    """DF-UMP2 with exact-Cholesky factors == canonical spin-summed MP2."""
+    import numpy as np
+    import scipy.linalg
+    import jax.numpy as jnp_
+    from pyscf_mpcc_tpu.mp import ump2
+    d = h2o_ccpvdz()
+    nocc = 5
+    # exact Cholesky "DF": B[L,p,q] from the full ERI tensor
+    nao = d["mo_coeff"].shape[0]
+    eri = np.asarray(d["eri_ao"]).reshape(nao * nao, nao * nao)
+    w, v = np.linalg.eigh(eri)
+    keep = w > 1e-12
+    B = (v[:, keep] * np.sqrt(w[keep])).T.reshape(-1, nao, nao)
+    co = d["mo_coeff"][:, :nocc]
+    cv = d["mo_coeff"][:, nocc:]
+    Lov = jnp_.einsum("Lpq,pi,qa->Lia", jnp_.asarray(B),
+                      jnp_.asarray(co), jnp_.asarray(cv))
+    eo = jnp_.asarray(d["mo_energy"][:nocc])
+    ev = jnp_.asarray(d["mo_energy"][nocc:])
+    e_u, (eaa, eab, ebb) = ump2.df_kernel(((eo, ev), (eo, ev)), Lov, Lov)
+    assert abs(e_u - E_MP2) < 1e-9
+    assert abs(eaa - ebb) < 1e-12
