@@ -281,7 +281,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             zd = zd * ((1.0 - act6) if mode == "exclude_active" else act6)
         e_tile = jnp.einsum("xyzijk,xyzijk->xyz", W, zd)
         e = jnp.sum((e_tile * wgt).astype(carry.dtype))
-        return carry + e, None
+        return carry + e, e
 
       return tile_energy
 
@@ -374,7 +374,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
                                       fvo_t, t1c_t, fvoc_t, eijk, gabc,
                                       evt, interpret=interpret)
-            return carry + e.astype(carry.dtype), None
+            return carry + e.astype(carry.dtype), e
 
         return tile_energy
 
@@ -432,7 +432,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     scan_chunk = _SCAN_CACHE.get(cache_key)
     if scan_chunk is None:
         scan_chunk = jax.jit(
-            lambda c, t, big: jax.lax.scan(tile_fn(big), c, t)[0])
+            lambda c, t, big: jax.lax.scan(tile_fn(big), c, t)[1])
         _SCAN_CACHE[cache_key] = scan_chunk
     ntrips = trips.shape[0]
     total = 0.0
@@ -443,8 +443,13 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     p = 0
     while p < ntrips:
         n = min(tiles_per_call, ntrips - p)
-        total += float(scan_chunk(jnp.zeros((), dtype=acc_dtype),
-                                  jax.lax.slice(trips, (p, 0), (p + n, 3)),
-                                  big_arrays))
+        ys = scan_chunk(jnp.zeros((), dtype=acc_dtype),
+                        jax.lax.slice(trips, (p, 0), (p + n, 3)),
+                        big_arrays)
+        # per-tile energies summed in fp64 on the host: the device carry
+        # would random-walk ~sqrt(ntiles)*eps_f32*|e| (~1e-6 Ha at
+        # (H2O)8 scale); this keeps accumulation error at the per-tile
+        # rounding level regardless of tile count
+        total += float(np.sum(np.asarray(ys, dtype=np.float64)))
         p += n
     return 2.0 * total

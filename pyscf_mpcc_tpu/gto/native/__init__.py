@@ -170,11 +170,12 @@ KERN_GAUSS_COULOMB = 2  # exp(-gamma r12^2)/r12
 KERN_GAUSS_R2 = 3       # r12^2 exp(-gamma r12^2)
 
 
-def eri4c_kern(mol, kern_type, gamma):
+def eri4c_kern(mol, kern_type, gamma, screen=0.0):
     """Full 4-center integrals of a generalized r12 kernel (chemists'
     notation).  Used by the F12 machinery: Slater geminals are fitted
     sums of KERN_GAUSS terms; Yukawa-like f12/r12 uses
-    KERN_GAUSS_COULOMB."""
+    KERN_GAUSS_COULOMB.  ``screen`` > 0 enables Schwarz prescreening
+    (valid for the positive-definite kernels 0-2)."""
     lib = get_lib()
     s = segment_shells(mol)
     c2s, off = c2s_tables()
@@ -185,7 +186,8 @@ def eri4c_kern(mol, kern_type, gamma):
         ctypes.c_int(s["nsh"]),
         _dp(c2s), _lp(off), ctypes.c_int(1 if mol.cart else 0),
         ctypes.c_int(s["nao"]), ctypes.c_int(int(kern_type)),
-        ctypes.c_double(float(gamma)), _dp(out))
+        ctypes.c_double(float(gamma)), ctypes.c_double(float(screen)),
+        _dp(out))
     return out
 
 

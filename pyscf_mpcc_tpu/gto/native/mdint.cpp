@@ -363,6 +363,22 @@ void coulomb_block(const PairData& pa, const PairData& pb,
     }
 }
 
+// Schwarz bound of a shell pair: sqrt(max_ab (ab|ab)) over the pair's
+// contracted cartesian components, for the given kernel.  Cauchy-Schwarz
+// |(ab|cd)| <= Q_ab Q_cd holds for any positive-definite interaction
+// (Coulomb, Gaussian geminal, damped Coulomb).
+double schwarz_q(const PairData& pd, std::vector<double>& blk,
+                 std::vector<double>& mid, std::vector<double>& rbox,
+                 std::vector<double>& rscr, const Kern& kern = Kern{0, 0.0}) {
+    coulomb_block(pd, pd, blk, mid, rbox, rscr, kern);
+    double q = 0.0;
+    for (int x = 0; x < pd.cab; ++x) {
+        double d = std::fabs(blk[(size_t)x * pd.cab + x]);
+        if (d > q) q = d;
+    }
+    return std::sqrt(q);
+}
+
 // sph transform on the bra pair of a [cab][ncol] block:
 // [ca][cb][ncol] -> [sa][sb][ncol]
 void sph_bra(const double* blk, int la, int lb, int ncol, const C2S& c2s,
@@ -426,6 +442,57 @@ void md_eri3c(const int* l, const int* nprim, const int* prim_off,
     Shells sx{l_x, nprim_x, prim_off_x, exps_x, coefs_x, centers_x,
               ao_off_x, nsh_x};
     C2S c2s{c2s_data, c2s_off, cart};
+    const double screen = 1e-14;   // Schwarz threshold on |(mu nu|P)|
+    // single-aux-shell Hermite data (shared by screening + main loop)
+    auto build_aux = [&](int k, PairData& px) {
+        px.la = sx.l[k]; px.lb = 0;
+        px.cab = ncart(px.la);
+        px.nprim = sx.nprim[k];
+        px.L = px.la;
+        px.n1 = px.L + 1;
+        size_t nherm = (size_t)px.n1 * px.n1 * px.n1;
+        px.E.assign((size_t)px.cab * nherm * px.nprim, 0.0);
+        px.P.assign((size_t)px.nprim * 3, 0.0);
+        px.p.assign(px.nprim, 0.0);
+        const double* C = centers_x + 3 * k;
+        E1d Ex;
+        for (int ip = 0; ip < px.nprim; ++ip) {
+            double a = exps_x[prim_off_x[k] + ip];
+            double w = coefs_x[prim_off_x[k] + ip];
+            px.p[ip] = a;
+            px.P[ip * 3 + 0] = C[0];
+            px.P[ip * 3 + 1] = C[1];
+            px.P[ip * 3 + 2] = C[2];
+            e_coeffs(px.la, 0, a, 0.0, 0.0, Ex);
+            int ci = 0;
+            for (int ix = px.la; ix >= 0; --ix)
+                for (int iy = px.la - ix; iy >= 0; --iy, ++ci) {
+                    int iz = px.la - ix - iy;
+                    size_t base = (size_t)ci * nherm * px.nprim;
+                    for (int tt = 0; tt <= ix; ++tt)
+                        for (int uu = 0; uu <= iy; ++uu)
+                            for (int vv = 0; vv <= iz; ++vv) {
+                                double e = w * Ex.get(ix, 0, tt)
+                                             * Ex.get(iy, 0, uu)
+                                             * Ex.get(iz, 0, vv);
+                                size_t h = ((size_t)tt * px.n1 + uu)
+                                           * px.n1 + vv;
+                                px.E[base + h * px.nprim + ip] = e;
+                            }
+                }
+        }
+    };
+    // max aux Schwarz bound (for bra-pair screening)
+    double qx_max = 0.0;
+    {
+        PairData px;
+        std::vector<double> b_, m_, r_, s_;
+        for (int k = 0; k < nsh_x; ++k) {
+            build_aux(k, px);
+            double q = schwarz_q(px, b_, m_, r_, s_);
+            if (q > qx_max) qx_max = q;
+        }
+    }
     // list of bra shell pairs (i >= j)
     std::vector<std::pair<int, int>> pairs;
     for (int i = 0; i < nsh; ++i)
@@ -440,52 +507,13 @@ void md_eri3c(const int* l, const int* nprim, const int* prim_off,
         for (long t = 0; t < np; ++t) {
             int i = pairs[t].first, j = pairs[t].second;
             build_pair(sh, i, j, pd);
+            if (schwarz_q(pd, blk, mid, rbox, rscr) * qx_max < screen)
+                continue;   // whole strip negligible; out stays zero
             int nsa = nsph(pd.la, cart), nsb = nsph(pd.lb, cart);
             // accumulate all aux shells into a [nsa][nsb][naux] strip
             std::vector<double> strip((size_t)nsa * nsb * naux, 0.0);
             for (int k = 0; k < nsh_x; ++k) {
-                build_pair(sx, k, k, px);  // placeholder, replaced below
-                // aux shell as pair with dummy s: rebuild cheaply
-                // (build_pair(sx,k,k) would square the shell; do custom)
-                // -- custom single-shell Hermite data --
-                px.la = sx.l[k]; px.lb = 0;
-                px.cab = ncart(px.la);
-                px.nprim = sx.nprim[k];
-                px.L = px.la;
-                px.n1 = px.L + 1;
-                size_t nherm = (size_t)px.n1 * px.n1 * px.n1;
-                px.E.assign((size_t)px.cab * nherm * px.nprim, 0.0);
-                px.P.assign((size_t)px.nprim * 3, 0.0);
-                px.p.assign(px.nprim, 0.0);
-                const double* C = centers_x + 3 * k;
-                E1d Ex;
-                for (int ip = 0; ip < px.nprim; ++ip) {
-                    double a = exps_x[prim_off_x[k] + ip];
-                    double w = coefs_x[prim_off_x[k] + ip];
-                    px.p[ip] = a;
-                    px.P[ip * 3 + 0] = C[0];
-                    px.P[ip * 3 + 1] = C[1];
-                    px.P[ip * 3 + 2] = C[2];
-                    e_coeffs(px.la, 0, a, 0.0, 0.0, Ex);
-                    int ci = 0;
-                    for (int ix = px.la; ix >= 0; --ix)
-                        for (int iy = px.la - ix; iy >= 0; --iy, ++ci) {
-                            int iz = px.la - ix - iy;
-                            size_t base = (size_t)ci * nherm * px.nprim;
-                            for (int tt = 0; tt <= ix; ++tt)
-                                for (int uu = 0; uu <= iy; ++uu)
-                                    for (int vv = 0; vv <= iz; ++vv) {
-                                        double e = w * Ex.get(ix, 0, tt)
-                                                     * Ex.get(iy, 0, uu)
-                                                     * Ex.get(iz, 0, vv);
-                                        // NOTE: Ex holds all three dims since
-                                        // AB=0 makes E dimension-independent
-                                        size_t h = ((size_t)tt * px.n1 + uu)
-                                                   * px.n1 + vv;
-                                        px.E[base + h * px.nprim + ip] = e;
-                                    }
-                        }
-                }
+                build_aux(k, px);
                 coulomb_block(pd, px, blk, mid, rbox, rscr);
                 // blk: [cab][cart_aux]; sph-transform the aux index first
                 int nsc = nsph(px.la, cart);
@@ -625,7 +653,8 @@ void md_eri4c_kern(const int* l, const int* nprim, const int* prim_off,
                    const double* exps, const double* coefs,
                    const double* centers, const int* ao_off, int nsh,
                    const double* c2s_data, const long* c2s_off, int cart,
-                   int nao, int kern_type, double kern_gamma, double* out) {
+                   int nao, int kern_type, double kern_gamma,
+                   double screen, double* out) {
     Kern kern{kern_type, kern_gamma};
     Shells sh{l, nprim, prim_off, exps, coefs, centers, ao_off, nsh};
     C2S c2s{c2s_data, c2s_off, cart};
@@ -634,11 +663,19 @@ void md_eri4c_kern(const int* l, const int* nprim, const int* prim_off,
         for (int j = 0; j <= i; ++j)
             pairs.emplace_back(i, j);
     long np = (long)pairs.size();
-    // precompute pair data (memory: fine for small/medium systems)
+    // precompute pair data + Schwarz bounds
     std::vector<PairData> pds(np);
-#pragma omp parallel for schedule(dynamic)
-    for (long t = 0; t < np; ++t)
-        build_pair(sh, pairs[t].first, pairs[t].second, pds[t]);
+    std::vector<double> qs(np, 0.0);
+#pragma omp parallel
+    {
+        std::vector<double> b_, m_, r_, s_;
+#pragma omp for schedule(dynamic)
+        for (long t = 0; t < np; ++t) {
+            build_pair(sh, pairs[t].first, pairs[t].second, pds[t]);
+            if (screen > 0.0)
+                qs[t] = schwarz_q(pds[t], b_, m_, r_, s_, kern);
+        }
+    }
 
 #pragma omp parallel
     {
@@ -646,6 +683,8 @@ void md_eri4c_kern(const int* l, const int* nprim, const int* prim_off,
 #pragma omp for schedule(dynamic)
         for (long t1i = 0; t1i < np; ++t1i) {
             for (long t2i = 0; t2i <= t1i; ++t2i) {
+                if (screen > 0.0 && qs[t1i] * qs[t2i] < screen)
+                    continue;
                 const PairData& pa = pds[t1i];
                 const PairData& pb = pds[t2i];
                 coulomb_block(pa, pb, blk, mid, rbox, rscr, kern);
@@ -698,7 +737,7 @@ void md_eri4c(const int* l, const int* nprim, const int* prim_off,
               const double* c2s_data, const long* c2s_off, int cart,
               int nao, double* out) {
     md_eri4c_kern(l, nprim, prim_off, exps, coefs, centers, ao_off, nsh,
-                  c2s_data, c2s_off, cart, nao, 0, 0.0, out);
+                  c2s_data, c2s_off, cart, nao, 0, 0.0, 1e-14, out);
 }
 
 }  // extern "C"

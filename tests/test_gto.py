@@ -84,3 +84,38 @@ END
 """
     shells = bmod.parse_nwchem(text, "H")
     assert len(shells) == 1 and shells[0][0] == 0
+
+
+def test_schwarz_screening_far_dimer():
+    """Schwarz prescreening (native engine) must not perturb integrals
+    above the 1e-14 threshold — checked on a far-separated dimer where
+    most shell-pair blocks are negligible."""
+    import numpy as np
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.gto import native
+    if not native.available():
+        return
+    mol = gto.M(atom="O 0 0 0; H 0 0 0.96; O 0 0 12.0; H 0 0 12.96",
+                basis="sto-3g", unit="angstrom", spin=0)
+    eri_n = native.eri4c(mol)
+    eri_p = gto.intor_eri.__wrapped__(mol) if hasattr(
+        gto.intor_eri, "__wrapped__") else None
+    # compare against the pure-NumPy engine (no screening)
+    from pyscf_mpcc_tpu.gto import intor
+    nao = mol.nao
+    pairs = intor._make_pairs(mol)
+    ref = np.zeros((nao,) * 4)
+    for ip in range(len(pairs)):
+        for jp in range(ip + 1):
+            pa, pb = pairs[ip], pairs[jp]
+            blk = intor._coulomb_block(pa, pb)
+            intor._scatter_eri(ref, blk, pa, pb)
+            if ip != jp:
+                intor._scatter_eri(ref, blk.transpose(2, 3, 0, 1), pb, pa)
+    np.testing.assert_allclose(eri_n, ref, atol=5e-12)
+    aux = gto.M(atom="O 0 0 0; H 0 0 0.96; O 0 0 12.0; H 0 0 12.96",
+                basis={"O": [[0, [1.1, 1.0]], [1, [0.8, 1.0]]],
+                       "H": [[0, [0.9, 1.0]]]}, unit="angstrom", spin=0)
+    b_n = native.eri3c(mol, aux)
+    b_p = intor.intor_3c2e(mol, aux)
+    np.testing.assert_allclose(b_n, b_p, atol=5e-12)
