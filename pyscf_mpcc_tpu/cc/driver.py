@@ -96,7 +96,9 @@ class RCCSDDriver(StreamObject):
         eris = self.eris or self.ao2mo()
         return float(rccsd.init_amps(eris)[0])
 
-    def ccsd_t(self, t1=None, t2=None, eris=None, tile=8):
+    def ccsd_t(self, t1=None, t2=None, eris=None, tile=0):
+        """(T) correction; tile=0 lets the HBM governor size the tile
+        edge (lib/memory.plan_triples_tile)."""
         if eris is None:
             eris = self.eris or self.ao2mo()
         return ccsd_t_mod.kernel(t1 if t1 is not None else self.t1,

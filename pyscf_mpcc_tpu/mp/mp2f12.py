@@ -196,8 +196,6 @@ def energy_f12(mf, auxmol, zeta=1.0, nfit=6, frozen=0):
     Pcoeff = np.vstack((mo_coeff, np.zeros((nca - nao, nmo))))
     Pcoeff = np.hstack((Pcoeff, cabs_coeff))
 
-    iperm = np.argsort(perm)  # big-AO -> [obs, aux] ordered position
-
     def big4(tensor):
         """Reorder a big-mol 4c tensor to [obs..., aux...] AO order."""
         return tensor[np.ix_(perm, perm, perm, perm)]
@@ -220,7 +218,7 @@ def energy_f12(mf, auxmol, zeta=1.0, nfit=6, frozen=0):
     vcilj = vlicj.transpose(2, 3, 0, 1)
 
     # ---- Fock over the CABS-extended space
-    sb, tb = gto.intor_ovlp_kin(big)
+    _, tb = gto.intor_ovlp_kin(big)
     vb = gto.intor_nuc(big)
     h_big = (tb + vb)[np.ix_(perm, perm)]
     dm = (mo_o @ mo_o.T) * 2.0
