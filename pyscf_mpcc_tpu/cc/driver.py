@@ -46,6 +46,7 @@ class RCCSDDriver(StreamObject):
         self.converged = False
         self.eris = None
         self._eri_ao = None
+        self._declare_keys()
 
     # -- integral handling -------------------------------------------------
     def ao2mo(self, mo_coeff=None):
@@ -242,6 +243,7 @@ class UCCSDDriver(StreamObject):
         self.t1 = self.t2 = None
         self.converged = False
         self.eris = None
+        self._declare_keys()
 
     def ao2mo(self, mo_coeff=None):
         mo = self.mo_coeff if mo_coeff is None else np.asarray(mo_coeff)

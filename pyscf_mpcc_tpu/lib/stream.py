@@ -43,8 +43,18 @@ class StreamObject:
         return fn(self, *args, **kwargs)
 
     # ------------------------------------------------------------- checks
+    def _declare_keys(self):
+        """Snapshot the attributes set so far as the known-key set; call
+        at the end of __init__ so check_sanity flags only attributes
+        invented afterwards (the reference's _keys discipline,
+        misc.py:602)."""
+        object.__setattr__(
+            self, "_keys",
+            frozenset(self._known_keys()) | set(vars(self)))
+        return self
+
     def _known_keys(self):
-        keys = set()
+        keys = set(getattr(self, "_keys", ()))
         for cls in type(self).__mro__:
             keys.update(k for k in vars(cls) if not k.startswith("_"))
             keys.update(getattr(cls, "_keys", ()))
