@@ -31,12 +31,15 @@ from pyscf_mpcc_tpu.cc.eris import RERIs
 PERMS = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0))
 
 
-def e_t_dense(t1, t2, eris):
+def e_t_dense(t1, t2, eris, v_fac=1.0):
     """Differentiable closed-shell (T) energy, dense over the virtual
     cube — the tile math of cc/ccsd_t.py with one full-size tile.
     The P-symmetrized integrand is permutation symmetric in (a,b,c), so
     the all-cube sum equals the weighted a>=b>=c triangle of the
-    production kernel (weights 1 / 1/2 / 1/6) times 6."""
+    production kernel (weights 1 / 1/2 / 1/6) times 6.
+
+    v_fac scales the disconnected singles part of V: 1.0 -> CCSD(T),
+    2.0 -> QCISD(T) (reference QCIsd_t_contract fac=2.0)."""
     nocc, nvir = t1.shape
     eo = eris.mo_energy[:nocc]
     ev = eris.mo_energy[nocc:]
@@ -55,8 +58,8 @@ def e_t_dense(t1, t2, eris):
     for p in PERMS:
         w = jnp.einsum("xyif,zfjk->xyzijk", ov, t2T)
         w -= jnp.einsum("xijm,zymk->xyzijk", vooo, t2T)
-        v = 0.5 * (jnp.einsum("ijxy,kz->xyzijk", oovv, t1)
-                   + jnp.einsum("yxij,zk->xyzijk", t2T, fvo))
+        v = (0.5 * v_fac) * (jnp.einsum("ijxy,kz->xyzijk", oovv, t1)
+                             + jnp.einsum("yxij,zk->xyzijk", t2T, fvo))
         inv = (p.index(0), p.index(1), p.index(2))
         axes = tuple(inv) + tuple(3 + q for q in inv)
         W += jnp.transpose(w, axes)

@@ -12,11 +12,15 @@ import numpy as np
 
 
 def kernel(t1, t2, eris, act_hole=None, act_particle=None,
-           mode="exclude_active"):
+           mode="exclude_active", v_fac=1.0):
     """E(T).  With act_hole/act_particle given, the triples whose six
     indices are all active are excluded ('exclude_active': the fork's
     inactive/environment correction, uccsd_t_inactive_iterative.py:45-51)
-    or exclusively kept ('only_active')."""
+    or exclusively kept ('only_active').
+
+    v_fac scales the disconnected (T1) part of V: 1.0 gives CCSD(T),
+    2.0 gives QCISD(T) (reference lib/cc/ccsd_t.c QCIsd_t_contract
+    passes fac=2.0 into add_and_permute)."""
     nocc = eris.nocc
     f = eris.fock
     eo = np.diag(f)[:nocc]
@@ -69,7 +73,7 @@ def kernel(t1, t2, eris, act_hole=None, act_particle=None,
                 v = (v - v.transpose(1, 0, 2) - v.transpose(2, 1, 0))
 
                 t3c = w / d3
-                integrand = t3c * (w + v) / 36.0
+                integrand = t3c * (w + v_fac * v) / 36.0
                 if act_hole is not None:
                     all_act = bool(ao[i] and ao[j] and ao[k])
                     if mode == "exclude_active":

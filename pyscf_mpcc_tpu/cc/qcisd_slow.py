@@ -115,3 +115,15 @@ def kernel(eris, max_cycle=100, conv_tol=1e-9, conv_tol_normt=1e-7,
             break
         e_last = e
     return float(e), t1, t2, converged
+
+
+def kernel_t(eris, **kw):
+    """QCISD(T): converge QCISD, then the perturbative triples with the
+    doubled disconnected-singles V (reference cc/qcisd_t.py, JCP 94, 442;
+    lib/cc/ccsd_t.c QCIsd_t_contract fac=2.0).
+
+    Returns (e_qcisd, e_t)."""
+    from pyscf_mpcc_tpu.cc import gccsd_t_slow
+    e, t1, t2, conv = kernel(eris, **kw)
+    et = gccsd_t_slow.kernel(t1, t2, eris, v_fac=2.0)
+    return float(e), float(et)

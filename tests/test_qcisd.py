@@ -33,3 +33,59 @@ def test_qcisd_ch4_pinned():
                                         conv_tol_normt=1e-8)
     assert conv
     assert abs(float(d["e_tot"]) + e - E_TOT_CH4) < 1e-6
+
+
+def test_qcisd_t_consistency():
+    """QCISD(T): the spin-orbital (T) with the doubled disconnected-V
+    (reference QCIsd_t_contract fac=2.0) must agree with the independent
+    restricted dense functional evaluated with v_fac=2 on the same
+    (spin-summed) amplitudes; and for a 2-electron system the triples
+    correction must vanish identically."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyscf_mpcc_tpu.cc import (ccsd_t_rdm, gccsd_slow, gccsd_t_slow,
+                                   qcisd_slow, rccsd)
+    from pyscf_mpcc_tpu.cc import eris as eris_mod
+    from pyscf_mpcc_tpu.testutil import h2o_ccpvdz
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.scf import RHF
+
+    # 2-electron system: no triples -> E_T(QCISD) == 0
+    mol = gto.M(atom="H 0 0 0; H 0 0 0.74", basis="cc-pvdz",
+                unit="angstrom")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    er_so = gccsd_slow.eris_from_scf(mf)
+    e_q, e_t = qcisd_slow.kernel_t(er_so, conv_tol=1e-11)
+    assert abs(e_t) < 1e-12
+
+    # v_fac=2 cross-check between the two independent (T) codes on
+    # common (RCCSD) amplitudes
+    d = h2o_ccpvdz()
+    er = eris_mod.make_eris_incore(d["eri_ao"], d["mo_coeff"],
+                                   d["fock_ao"], 5)
+    conv, e, t1, t2 = rccsd.kernel(er, conv_tol=1e-11, conv_tol_normt=1e-9)
+    e_r = float(ccsd_t_rdm.e_t_dense(t1, t2, er, v_fac=2.0))
+
+    so = gccsd_slow.build_eris(d["eri_ao"], d["mo_coeff"], d["mo_coeff"],
+                               (d["fock_ao"], d["fock_ao"]), (5, 5))
+    # spin-expand the restricted amplitudes into the [oa, ob, va, vb]
+    # ordering of build_eris
+    no, nv = t1.shape
+    t1g = np.zeros((2 * no, 2 * nv))
+    t1g[:no, :nv] = t1
+    t1g[no:, nv:] = t1
+    t2g = np.zeros((2 * no, 2 * no, 2 * nv, 2 * nv))
+    t2ab = np.asarray(t2)
+    # alpha-beta block and its exchange partners
+    t2g[:no, no:, :nv, nv:] = t2ab
+    t2g[no:, :no, nv:, :nv] = t2ab
+    t2g[:no, no:, nv:, :nv] = -t2ab.transpose(0, 1, 3, 2)
+    t2g[no:, :no, :nv, nv:] = -t2ab.transpose(0, 1, 3, 2)
+    taa = t2ab - t2ab.transpose(0, 1, 3, 2)
+    t2g[:no, :no, :nv, :nv] = taa
+    t2g[no:, no:, nv:, nv:] = taa
+    e_g = float(gccsd_t_slow.kernel(jnp.asarray(t1g), jnp.asarray(t2g),
+                                    so, v_fac=2.0))
+    assert abs(e_g - e_r) < 1e-9
