@@ -150,3 +150,52 @@ def test_masked_lambda_empty_mask_matches_unmasked():
     assert c0 and c1
     assert float(jnp.abs(l1_m - l1_0).max()) < 1e-9
     assert float(jnp.abs(l2_m - l2_0).max()) < 1e-9
+
+
+def test_uccsd_rdm_energy_identity_o2():
+    """UCCSD response densities: the integral-contraction of
+    (dm1, dm2) must reproduce E_HF_elec + E_UCCSD exactly, and the
+    spin traces must equal (na, nb)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyscf_mpcc_tpu import ao2mo, gto
+    from pyscf_mpcc_tpu.cc import lambda_ad, uccsd
+    from pyscf_mpcc_tpu.scf import UHF
+
+    mol = gto.M(atom="O 0 0 0; O 0 0 1.21", basis="sto-3g",
+                unit="angstrom", spin=2)
+    mf = UHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    na, nb = mol.nelec
+    eri_ao = gto.intor_eri(mol)
+    dm = mf.make_rdm1()
+    j, k = mf.get_jk(dm)
+    h = mf.get_hcore()
+    fa = h + j[0] + j[1] - k[0]
+    fb = h + j[0] + j[1] - k[1]
+    er = uccsd.make_eris_incore(eri_ao, mf.mo_coeff[0], mf.mo_coeff[1],
+                                fa, fb, na, nb)
+    conv, e_corr, t1, t2 = uccsd.kernel(er, conv_tol=1e-10,
+                                        conv_tol_normt=1e-8)
+    assert conv
+    cl, l1, l2 = lambda_ad.kernel_u(t1, t2, er, conv_tol=1e-8)
+    assert cl
+
+    moa, mob = np.asarray(mf.mo_coeff[0]), np.asarray(mf.mo_coeff[1])
+    h_a = jnp.asarray(moa.T @ h @ moa)
+    h_b = jnp.asarray(mob.T @ h @ mob)
+    eri = jnp.asarray(eri_ao)
+    g_aa = ao2mo.full(eri, jnp.asarray(moa))
+    g_bb = ao2mo.full(eri, jnp.asarray(mob))
+    g_ab = ao2mo.general(eri, (moa, moa, mob, mob))
+    (d1a, d1b), (d2aa, d2ab, d2bb) = lambda_ad.make_rdm12_u(
+        h_a, h_b, g_aa, g_ab, g_bb, t1, t2, l1, l2, na, nb)
+    assert abs(float(jnp.trace(d1a)) - na) < 1e-8
+    assert abs(float(jnp.trace(d1b)) - nb) < 1e-8
+    e_rdm = float(jnp.sum(d1a * h_a) + jnp.sum(d1b * h_b)
+                  + 0.5 * jnp.einsum("pqrs,pqrs->", g_aa, d2aa)
+                  + 0.5 * jnp.einsum("pqrs,pqrs->", g_bb, d2bb)
+                  + jnp.einsum("pqrs,pqrs->", g_ab, d2ab))
+    e_hf_elec = mf.e_tot - mol.energy_nuc()
+    assert abs(e_rdm - (e_hf_elec + float(e_corr))) < 1e-8
