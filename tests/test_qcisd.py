@@ -70,22 +70,12 @@ def test_qcisd_t_consistency():
 
     so = gccsd_slow.build_eris(d["eri_ao"], d["mo_coeff"], d["mo_coeff"],
                                (d["fock_ao"], d["fock_ao"]), (5, 5))
-    # spin-expand the restricted amplitudes into the [oa, ob, va, vb]
-    # ordering of build_eris
+    from pyscf_mpcc_tpu.cc import addons
     no, nv = t1.shape
-    t1g = np.zeros((2 * no, 2 * nv))
-    t1g[:no, :nv] = t1
-    t1g[no:, nv:] = t1
-    t2g = np.zeros((2 * no, 2 * no, 2 * nv, 2 * nv))
-    t2ab = np.asarray(t2)
-    # alpha-beta block and its exchange partners
-    t2g[:no, no:, :nv, nv:] = t2ab
-    t2g[no:, :no, nv:, :nv] = t2ab
-    t2g[:no, no:, nv:, :nv] = -t2ab.transpose(0, 1, 3, 2)
-    t2g[no:, :no, :nv, nv:] = -t2ab.transpose(0, 1, 3, 2)
-    taa = t2ab - t2ab.transpose(0, 1, 3, 2)
-    t2g[:no, :no, :nv, :nv] = taa
-    t2g[no:, no:, nv:, nv:] = taa
+    t1g = addons.spatial2spin_t1(t1)
+    t2g = addons.spatial2spin_t2(t2)
+    np.testing.assert_allclose(addons.spin2spatial_t2(t2g, no, nv),
+                               np.asarray(t2), atol=1e-14)
     e_g = float(gccsd_t_slow.kernel(jnp.asarray(t1g), jnp.asarray(t2g),
                                     so, v_fac=2.0))
     assert abs(e_g - e_r) < 1e-9
