@@ -8,6 +8,7 @@ orthogonal complement (symmetric orthonormalization in the S metric).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
 
@@ -81,3 +82,19 @@ def kernel(mf, eri_ao, max_macro=30, t1_tol=1e-5, cc_conv=1e-9,
             u_tot = uu @ vv
         mo = mo0 @ u_tot
     raise RuntimeError("BCCD did not converge")
+
+
+def kernel_t(mf, eri_ao, **kw):
+    """BCCD(T): the perturbative triples on the converged Brueckner
+    orbitals/amplitudes (t1 = 0 by construction, so only the connected
+    W survives; reference bccd.py bccd_kernel_ + ccsd_t pattern).
+
+    Returns (e_bccd, e_t, mo_brueckner)."""
+    from pyscf_mpcc_tpu.cc import ccsd_t
+    e_corr, mo, t2, _ = kernel(mf, eri_ao, **kw)
+    nocc = mf.mol.nelectron // 2
+    fock_ao = mf.get_fock(mf.make_rdm1())
+    er = eris_mod.make_eris_incore(eri_ao, mo, fock_ao, nocc)
+    t1 = jnp.zeros((t2.shape[0], t2.shape[2]), t2.dtype)
+    e_t = ccsd_t.kernel(t1, t2, er, tile=8)
+    return float(e_corr), float(e_t), mo

@@ -24,3 +24,31 @@ def test_bccd_converges_near_ccsd():
     # BCCD is close to (but distinct from) CCSD
     assert abs(e_bccd - E_CCSD) < 1e-3
     assert abs(e_bccd - E_CCSD) > 1e-6
+
+
+def test_bccd_t_close_to_ccsd_t():
+    """BCCD(T) total correlation should track CCSD(T) closely for a
+    single-reference molecule (Brueckner and HF orbitals nearly agree)."""
+    import numpy as np
+    from pyscf_mpcc_tpu.cc import bccd, ccsd_t, rccsd
+    from pyscf_mpcc_tpu.cc import eris as eris_mod
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.scf import RHF
+
+    mol = gto.M(atom="O 0 0 0.1173; H 0 0.7572 -0.4692; "
+                     "H 0 -0.7572 -0.4692",
+                basis="sto-3g", unit="angstrom")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    eri_ao = gto.intor_eri(mol)
+    e_b, e_bt, mo = bccd.kernel_t(mf, eri_ao, t1_tol=1e-7)
+    assert e_bt < 0
+
+    er = eris_mod.make_eris_incore(eri_ao, mf.mo_coeff,
+                                   mf.get_fock(mf.make_rdm1()),
+                                   mol.nelectron // 2)
+    conv, e_c, t1, t2 = rccsd.kernel(er, conv_tol=1e-11,
+                                     conv_tol_normt=1e-9)
+    e_ct = ccsd_t.kernel(t1, t2, er, tile=8)
+    assert abs((e_b + e_bt) - (e_c + e_ct)) < 2e-4
