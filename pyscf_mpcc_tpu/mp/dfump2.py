@@ -215,3 +215,17 @@ class DFUMP2:
             self.B_ao, jnp.asarray(self.mo_coeff[0]),
             jnp.asarray(self.mo_coeff[1]), h, self.t2,
             self.nocc[0], self.nocc[1]))
+
+
+    def make_natorbs(self, relaxed=False):
+        """(natural occupations, natural orbitals) of the spin-summed
+        density (reference dfump2_native.make_natorbs role): eigenvectors
+        of S^1/2 D S^1/2, most occupied first."""
+        import scipy.linalg
+        D = self.make_rdm1(relaxed=relaxed)
+        S = np.asarray(self._scf.get_ovlp())
+        w, v = scipy.linalg.eigh(S)
+        s_half = (v * np.sqrt(w)) @ v.T
+        s_mhalf = (v / np.sqrt(w)) @ v.T
+        occ, u = np.linalg.eigh(s_half @ D @ s_half)
+        return occ[::-1], s_mhalf @ u[:, ::-1]
