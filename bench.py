@@ -240,9 +240,11 @@ def main():
         }
         # on-device parity: fp32 CCSD+Lambda on the chip, fp64 Lagrangian
         # certification on host (H2O/cc-pVTZ; SURVEY section 7 risk (c))
-        p32 = _run_child("--child-parity", {"stage": "fp32"}, 500)
+        # generous timeouts: a TPU-worker restart clears the remote
+        # compile cache and every child then pays ~40 s per program
+        p32 = _run_child("--child-parity", {"stage": "fp32"}, 900)
         if p32:
-            p64 = _run_child("--child-parity", {"stage": "fp64"}, 500)
+            p64 = _run_child("--child-parity", {"stage": "fp64"}, 900)
             if p64:
                 detail["parity_h2o_ccpvtz"] = {
                     "e_corr_ref_fp64": round(p64["e_ref"], 12),
@@ -254,7 +256,7 @@ def main():
         # (T) throughput: fused Pallas engine, probe of the tile space
         t = _run_child("--child-t", {
             "nocc": cfg["nocc"], "nvir": cfg["nvir"], "naux": cfg["naux"],
-            "tile": 8, "nprobe": 1024}, 500)
+            "tile": 8, "nprobe": 1024}, 900)
         if t:
             detail["triples_fused"] = {
                 "tflops": round(t["tflops"], 2),
