@@ -21,3 +21,9 @@ inventory against the reference.
 __version__ = "0.1.0"
 
 from pyscf_mpcc_tpu import gto  # noqa: F401
+
+
+def M(**kwargs):
+    """Build a molecule (reference pyscf.M convenience, __init__.py:106):
+    ``pyscf_mpcc_tpu.M(atom=..., basis=...)``."""
+    return gto.M(**kwargs)
