@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyscf_mpcc_tpu.cc.ccsd_t import _tile_triples
+from pyscf_mpcc_tpu.cc.ccsd_t import _SCAN_CACHE, _tile_triples
 
 
 def _so_chem_ooov(eris, dtype):
@@ -311,7 +311,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                            else act6)
             e_tile = jnp.einsum("xyzijk,xyzijk->xyz", W, zd)
             e = jnp.sum((e_tile * wgt).astype(carry.dtype))
-            return carry + e, None
+            return carry + e, e
 
         return tile_energy
 
@@ -343,15 +343,25 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             e_sum -= float(e0)
         return e_sum / 6.0
 
-    scan_chunk = jax.jit(
-        lambda c, t, bg: jax.lax.scan(make_tile_energy(bg), c, t)[0])
+    cache_key = ("uccsd_t", tile, na, nb, va, vb, str(dtype),
+                 str(acc_dtype), mode, act_hole is not None,
+                 eris.Lov_a is None, jax.default_backend())
+    scan_chunk = _SCAN_CACHE.get(cache_key)
+    if scan_chunk is None:
+        # jitting inside kernel() would re-trace per call (see
+        # cc/ccsd_t.py _SCAN_CACHE note)
+        scan_chunk = jax.jit(
+            lambda c, t, bg: jax.lax.scan(make_tile_energy(bg), c, t)[1])
+        _SCAN_CACHE[cache_key] = scan_chunk
     ntrips = trips.shape[0]
     total = 0.0
     p = 0
     while p < ntrips:
         n = min(tiles_per_call, ntrips - p)
-        total += float(scan_chunk(jnp.zeros((), dtype=acc_dtype),
-                                  jax.lax.slice(trips, (p, 0), (p + n, 3)),
-                                  big))
+        ys = scan_chunk(jnp.zeros((), dtype=acc_dtype),
+                        jax.lax.slice(trips, (p, 0), (p + n, 3)), big)
+        # fp64 host accumulation of the per-tile energies (the fp32
+        # device carry random-walks at large tile counts)
+        total += float(np.sum(np.asarray(ys, dtype=np.float64)))
         p += n
     return total / 6.0
