@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""(H2O)8 / cc-pVTZ certified on-device parity — the BASELINE gate at
+full benchmark scale (SURVEY §7 risk (c), docs/PARITY.md).
+
+Two-stage protocol (each stage its own subprocess so the JAX platform
+choice is fresh):
+
+  stage fp32 (TPU):  host fp64 SCF/DF (device-accelerated J/K), then
+      fp32 ovvv-free DF-RCCSD + Lambda on the chip with true-fp32
+      (3-pass) matmuls; dumps mo_coeff/fock and the converged fp32
+      amplitudes.
+  stage fp64 (CPU, x64):  rebuilds the IDENTICAL DF/MO integrals in
+      fp64 from the saved mo_coeff/fock and evaluates the Lagrangian
+      E_L = E(t32) + <l32, R(t32)> once.  Stationarity makes
+      |E_L - E_exact| = O(|dt|^2 + |dl||dt|), so amplitudes converged
+      to ~1e-5 certify the energy to ~1e-10 — no fp64 solve needed
+      (a full fp64 CCSD at this scale is hours on one host core; the
+      certification is one residual evaluation, ~minutes).
+
+Reference analog: the fp64-everywhere path of pyscf/cc/ccsd.py — the
+reference has no reduced-precision mode to certify; this script is the
+evidence that the TPU fp32 pipeline meets the |dE| <= 1e-7 Ha gate the
+reference meets by construction.
+
+Run:  python examples/w8_parity_certify.py            # both stages
+      python examples/w8_parity_certify.py --stage32  # TPU stage only
+      python examples/w8_parity_certify.py --stage64  # host stage only
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+
+SCRATCH = os.path.join(_HERE, "..", ".scratch", "w8_parity")
+FROZEN = 8
+NTILE_LAMBDA = 8  # occupied-tile count for the Lambda/residual ladder
+
+
+def build_mf():
+    """Deterministic (H2O)8/cc-pVTZ DF-RHF (host fp64 integrals)."""
+    from w8_ccsd_pipeline import W8_GEOM
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.scf import RHF
+
+    mol = gto.M(atom=W8_GEOM, basis="cc-pvtz")
+    mf = RHF(mol).density_fit("cc-pvtz-jkfit")
+    mf.conv_tol = 1e-10
+    return mol, mf
+
+
+def stage_fp32():
+    import jax
+    # certified path needs true-fp32 contractions (single-pass bf16
+    # stalls the amplitudes at ~1e-4)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+    from pyscf_mpcc_tpu.cc import eris as eris_mod
+    from pyscf_mpcc_tpu.cc import lambda_ad, rccsd
+    from pyscf_mpcc_tpu.lib import memory as _mem
+    from pyscf_mpcc_tpu.scf.hf import _JKDF
+
+    t0 = time.time()
+    mol, mf = build_mf()
+    mf.with_df.build()
+    mf._jk = _JKDF(mf.with_df.B_ao(), device=True)
+    mf.kernel()
+    print(f"[{time.time()-t0:7.1f}s] E(DF-RHF) = {mf.e_tot:.10f} "
+          f"converged={mf.converged}", flush=True)
+    assert mf.converged
+
+    nocc = mol.nelectron // 2 - FROZEN
+    mo = np.asarray(mf.mo_coeff)[:, FROZEN:]
+    fock_ao = np.asarray(mf.get_fock(mf.make_rdm1()))
+    B = np.asarray(mf.with_df.B_ao())
+    os.makedirs(SCRATCH, exist_ok=True)
+    np.savez(os.path.join(SCRATCH, "scf.npz"), mo=mo, fock_ao=fock_ao,
+             e_scf=mf.e_tot)
+
+    er = eris_mod.make_eris_df(B, mo, fock_ao, nocc, dtype=jnp.float32,
+                               keep_ovvv=False)
+    nvir = er.Lvv.shape[1]
+    ntile = _mem.plan_ladder_ntile(nocc, nvir, er.Lvv.shape[0])
+    print(f"[{time.time()-t0:7.1f}s] fp32 eris on device: nocc={nocc} "
+          f"nvir={nvir} naux={er.Lvv.shape[0]} ntile={ntile}", flush=True)
+
+    conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-7, conv_tol_normt=3e-6,
+                                     max_cycle=80, ntile=ntile, verbose=4)
+    print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
+          f"converged={conv}", flush=True)
+    cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6, max_cycle=80,
+                                  ntile=NTILE_LAMBDA, verbose=4)
+    print(f"[{time.time()-t0:7.1f}s] lambda converged={cl}", flush=True)
+    np.savez(os.path.join(SCRATCH, "amps.npz"),
+             t1=np.asarray(t1), t2=np.asarray(t2),
+             l1=np.asarray(l1), l2=np.asarray(l2))
+    out = dict(stage="fp32", e32=float(e32), conv=bool(conv and cl),
+               e_scf=float(mf.e_tot), nocc=nocc, nvir=int(nvir),
+               device=str(jax.devices()[0]), wall_s=round(time.time() - t0, 1))
+    print("W8PARITY " + json.dumps(out), flush=True)
+
+
+def stage_fp64():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+    from pyscf_mpcc_tpu.cc import eris as eris_mod
+    from pyscf_mpcc_tpu.cc import lambda_ad
+
+    t0 = time.time()
+    z = np.load(os.path.join(SCRATCH, "scf.npz"))
+    mol, mf = build_mf()
+    mf.with_df.build()
+    B = np.asarray(mf.with_df.B_ao())  # host fp64 build is deterministic
+    nocc = mol.nelectron // 2 - FROZEN
+    er = eris_mod.make_eris_df(B, z["mo"], z["fock_ao"], nocc,
+                               keep_ovvv=False)
+    print(f"[{time.time()-t0:7.1f}s] fp64 eris on host", flush=True)
+    a = np.load(os.path.join(SCRATCH, "amps.npz"))
+    e_lagr = float(lambda_ad.lagrangian_energy(
+        jnp.asarray(a["t1"], jnp.float64), jnp.asarray(a["t2"], jnp.float64),
+        jnp.asarray(a["l1"], jnp.float64), jnp.asarray(a["l2"], jnp.float64),
+        er, ntile=NTILE_LAMBDA))
+    out = dict(stage="fp64", e_lagr=e_lagr,
+               wall_s=round(time.time() - t0, 1))
+    print("W8PARITY " + json.dumps(out), flush=True)
+
+
+def main():
+    env = dict(os.environ)
+    r32 = subprocess.run([sys.executable, __file__, "--stage32"], env=env,
+                         capture_output=True, text=True, timeout=3600)
+    sys.stdout.write(r32.stdout)
+    sys.stderr.write(r32.stderr[-2000:])
+    if r32.returncode != 0:
+        sys.exit(1)
+    env["JAX_PLATFORMS"] = "cpu"
+    r64 = subprocess.run([sys.executable, __file__, "--stage64"], env=env,
+                         capture_output=True, text=True, timeout=3600)
+    sys.stdout.write(r64.stdout)
+    sys.stderr.write(r64.stderr[-2000:])
+    if r64.returncode != 0:
+        sys.exit(1)
+    d32 = d64 = None
+    for line in (r32.stdout + r64.stdout).splitlines():
+        if line.startswith("W8PARITY "):
+            d = json.loads(line[len("W8PARITY "):])
+            if d["stage"] == "fp32":
+                d32 = d
+            else:
+                d64 = d
+    delta = abs(d32["e32"] - d64["e_lagr"])
+    print(json.dumps(dict(
+        system="(H2O)8/cc-pVTZ frozen-core DF-RCCSD",
+        nocc=d32["nocc"], nvir=d32["nvir"], device=d32["device"],
+        e_corr_fp32_on_chip=d32["e32"],
+        e_corr_fp64_lagrangian=d64["e_lagr"],
+        # E_L approximates E_exact to O(|dt|^2) ~ 1e-10, so this delta IS
+        # the raw fp32 on-chip error; the certified (production) number
+        # is e_corr_fp64_lagrangian and meets the 1e-7 gate by the
+        # stationarity argument whenever the fp32 solve converged.
+        fp32_raw_dE=delta,
+        converged=d32["conv"],
+    )))
+
+
+if __name__ == "__main__":
+    if "--stage32" in sys.argv:
+        stage_fp32()
+    elif "--stage64" in sys.argv:
+        stage_fp64()
+    else:
+        main()

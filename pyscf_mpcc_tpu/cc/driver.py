@@ -314,6 +314,51 @@ class UCCSDDriver(StreamObject):
             t2 if t2 is not None else self.t2, eris, tile=tile)
 
 
+class CCSDScanner:
+    """Callable PES scanner over CCSD solutions (reference cc/ccsd.py:883
+    CCSD_Scanner): ``scanner(mol_or_atom)`` chains the SCF scanner, then
+    re-solves CCSD seeded with the previous geometry's amplitudes (same
+    orbital dimensions required; otherwise a cold MP2 start).  Each call
+    produces a fresh driver, exposed as ``scanner.cc``."""
+
+    def __init__(self, cc):
+        self.cc = cc
+        self._mf_scan = cc._scf.as_scanner()
+        self.e_tot = None
+        self.converged = cc.converged
+
+    def __call__(self, mol_or_atom, dm0=None):
+        old = self.cc
+        self._mf_scan(mol_or_atom, dm0=dm0)
+        mf = self._mf_scan.mf
+        cc = type(old)(mf, frozen=old.frozen)
+        for k in ("conv_tol", "conv_tol_normt", "max_cycle", "diis_space",
+                  "level_shift", "verbose"):
+            setattr(cc, k, getattr(old, k))
+        if hasattr(old, "ntile"):
+            cc.ntile = old.ntile
+        # identical nao+nelec (and frozen, copied above) => identical
+        # amplitude shapes, so the warm start is well-defined
+        t1 = t2 = None
+        if old.t1 is not None and mf.mol.nao == old.mol.nao \
+                and mf.mol.nelec == old.mol.nelec:
+            t1, t2 = old.t1, old.t2
+        cc.kernel(t1=t1, t2=t2)
+        self.cc = cc
+        self.e_tot = cc.e_tot
+        self.converged = bool(mf.converged and cc.converged)
+        return cc.e_tot
+
+
+def _as_scanner(self):
+    """CCSD geometry scanner; see CCSDScanner."""
+    return CCSDScanner(self)
+
+
+RCCSDDriver.as_scanner = _as_scanner
+UCCSDDriver.as_scanner = _as_scanner
+
+
 def CCSD(mf, frozen=0, mo_coeff=None):
     """Factory mirroring the reference's cc.CCSD dispatch."""
     if isinstance(mf, _UHF) or np.asarray(mf.mo_coeff).ndim == 3:

@@ -143,6 +143,12 @@ class SCFBase:
 
     scf = kernel
 
+    def as_scanner(self):
+        """Geometry scanner (reference scf/hf.py as_scanner / SCF_Scanner):
+        a callable evaluating E_tot at a new geometry, warm-starting the
+        SCF from the previous converged density."""
+        return SCFScanner(self)
+
 
 class RHF(SCFBase):
     def get_occ(self, mo_energy):
@@ -340,6 +346,55 @@ class ROHF(UHF):
              + po.T @ fa @ pv + pv.T @ fa @ po
              + pv.T @ fc @ pc + pc.T @ fc @ pv)
         return f
+
+
+class SCFScanner:
+    """Callable PES scanner over SCF solutions.
+
+    ``scanner(mol)`` (a built Mole, or an atom spec reusing the template
+    molecule's basis/unit/charge/spin) runs a fresh SCF of the template's
+    class and settings, seeded with the previous geometry's converged
+    density when the AO dimension matches.  Mirrors the reference's
+    ``mf.as_scanner()`` semantics (scf/hf.py SCF_Scanner) without the
+    in-place mutation: each call produces a new mean-field object,
+    exposed as ``scanner.mf``."""
+
+    def __init__(self, mf):
+        from pyscf_mpcc_tpu.gto.mole import Mole
+        self._mole_cls = Mole
+        self.mf = mf
+        self.e_tot = mf.e_tot
+        self.converged = mf.converged
+
+    def _build_mol(self, mol_or_atom):
+        if isinstance(mol_or_atom, self._mole_cls):
+            mol = mol_or_atom
+            if not mol._built:
+                mol.build()
+            return mol
+        t = self.mf.mol
+        mol = self._mole_cls(atom=mol_or_atom, basis=t.basis, unit=t.unit,
+                             charge=t.charge, spin=t.spin, cart=t.cart,
+                             verbose=t.verbose)
+        mol.build()
+        return mol
+
+    def __call__(self, mol_or_atom, dm0=None):
+        last = self.mf
+        mol = self._build_mol(mol_or_atom)
+        mf = type(last)(mol, verbose=last.verbose)
+        for k in ("conv_tol", "conv_tol_grad", "max_cycle", "diis_space"):
+            setattr(mf, k, getattr(last, k))
+        if last.with_df is not None:
+            mf.density_fit(last.with_df.auxbasis)
+        if dm0 is None and last.converged and last.mo_coeff is not None \
+                and mol.nao == last.mol.nao:
+            dm0 = last.make_rdm1()
+        mf.kernel(dm0=dm0)
+        self.mf = mf
+        self.e_tot = mf.e_tot
+        self.converged = mf.converged
+        return mf.e_tot
 
 
 def convert_to_uhf(mf):
