@@ -1,0 +1,58 @@
+"""Engine equivalence for the (T) permutation-epilogue Pallas kernel.
+
+The production TPU path runs ops/triples_combine.py (engine='fused');
+CI is CPU-only, where the kernel executes in Pallas interpret mode.
+This locks the fused path — BlockSpec index maps, canonical-emission
+dot layouts, batched in-kernel w2 dots, weights — against the pure-XLA
+engine on the same inputs (reference spec: the add_and_permute/energy
+contraction of pyscf/lib/cc/ccsd_t.c:39-230)."""
+
+from types import SimpleNamespace
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyscf_mpcc_tpu.cc import ccsd_t
+
+
+def _rand_problem(nocc=3, nvir=7, seed=7):
+    rng = np.random.default_rng(seed)
+
+    def r(*shape):
+        return rng.standard_normal(shape) * 0.05
+
+    t1 = r(nocc, nvir)
+    t2 = r(nocc, nocc, nvir, nvir)
+    t2 = t2 + t2.transpose(1, 0, 3, 2)
+    ovov = r(nocc, nvir, nocc, nvir)
+    ovov = ovov + ovov.transpose(2, 3, 0, 1)
+    ovvv = r(nocc, nvir, nvir, nvir)
+    ovvv = ovvv + ovvv.transpose(0, 1, 3, 2)
+    ovoo = r(nocc, nvir, nocc, nocc)
+    ovoo = ovoo + ovoo.transpose(0, 1, 3, 2)
+    mo_energy = np.concatenate([-np.sort(rng.random(nocc))[::-1] - 1.0,
+                                np.sort(rng.random(nvir)) + 0.5])
+    fock = np.diag(mo_energy)
+    fock += 0.01 * (r(nocc + nvir, nocc + nvir)
+                    + r(nocc + nvir, nocc + nvir).T)
+    eris = SimpleNamespace(
+        fock=jnp.asarray(fock), mo_energy=jnp.asarray(mo_energy),
+        ovoo=jnp.asarray(ovoo), ovov=jnp.asarray(ovov),
+        ovvv=jnp.asarray(ovvv), Lov=None, Lvv=None)
+    return jnp.asarray(t1), jnp.asarray(t2), eris
+
+
+def test_fused_engine_matches_xla_engine():
+    t1, t2, eris = _rand_problem()
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_fused = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused"))
+    assert abs(e_xla) > 1e-8  # non-degenerate problem
+    np.testing.assert_allclose(e_fused, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_fused_engine_active_mask_matches_xla():
+    t1, t2, eris = _rand_problem(seed=11)
+    kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode="only_active")
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla", **kw))
+    e_fused = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused", **kw))
+    np.testing.assert_allclose(e_fused, e_xla, rtol=1e-10, atol=1e-12)
