@@ -16,18 +16,67 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-# S4 cube arrangement of 8 waters (~2.7 A O-O edges), standard test cluster
-W8_GEOM = []
+# Hydrogen-bonded cubic (H2O)8 (the standard cube-cluster motif): O on a
+# 2.8 A cube, each of the 12 edges carries exactly one O-H...O hydrogen
+# bond (donor assignment by backtracking; 4 double-donor + 4 single-donor
+# waters, free H of single donors pointing outward).  All intermolecular
+# contacts physical (min H...O 1.84 A = the H-bonds, min H-H 2.08 A) —
+# the earlier non-bonded orientation had 1.2 A H-H clashes that stalled
+# SCF convergence.
 import itertools
+
+_A = 2.8
 _r_oh = 0.9572
 _ang = 104.52 * np.pi / 180.0
-for idx, (i, j, k) in enumerate(itertools.product((0, 1), repeat=3)):
-    O = np.array([2.7 * i, 2.7 * j, 2.7 * k])
-    # alternate orientations
-    s = 1.0 if (i + j + k) % 2 == 0 else -1.0
-    h1 = O + _r_oh * np.array([s * np.sin(_ang / 2), np.cos(_ang / 2), 0.0])
-    h2 = O + _r_oh * np.array([-s * np.sin(_ang / 2), np.cos(_ang / 2), 0.0])
-    W8_GEOM += [["O", tuple(O)], ["H", tuple(h1)], ["H", tuple(h2)]]
+
+
+def _w8_cube():
+    corners = list(itertools.product((0, 1), repeat=3))
+    edges = []
+    for c in corners:
+        for ax in range(3):
+            n = list(c)
+            n[ax] ^= 1
+            n = tuple(n)
+            if c < n:
+                edges.append((c, n))
+    don = {c: 0 for c in corners}
+    choice = []
+
+    def solve(i):
+        if i == len(edges):
+            return all(v in (1, 2) for v in don.values())
+        u, v = edges[i]
+        for d in (u, v):
+            if don[d] < 2:
+                don[d] += 1
+                choice.append(d)
+                if solve(i + 1):
+                    return True
+                don[d] -= 1
+                choice.pop()
+        return False
+
+    assert solve(0)
+    center = np.full(3, 0.5) * _A
+    geom = []
+    for c in corners:
+        O = np.array(c, float) * _A
+        dirs = [(np.array(v if u == c else u, float) * _A - O) / _A
+                for i, (u, v) in enumerate(edges) if choice[i] == c]
+        if len(dirs) == 1:
+            e1 = dirs[0]
+            out = O - center
+            out /= np.linalg.norm(out)
+            e2 = out - (out @ e1) * e1
+            e2 /= np.linalg.norm(e2)
+            dirs.append(np.cos(_ang) * e1 + np.sin(_ang) * e2)
+        geom.append(["O", tuple(O)])
+        geom += [["H", tuple(O + _r_oh * d)] for d in dirs]
+    return geom
+
+
+W8_GEOM = _w8_cube()
 
 W2_GEOM = [["O", (0.0, 0.0, 0.0)], ["H", (0.757, 0.587, 0.0)],
            ["H", (-0.757, 0.587, 0.0)],

@@ -73,11 +73,83 @@ class _JKDF:
         return j, k
 
 
+def _frac_occ(mo_energy, nelec, degen_tol=1e-5):
+    """Aufbau occupations with equal spreading over degenerate sets
+    (spherical averaging for open-shell atoms: O 2p^4 -> 4/3 each)."""
+    occ = np.zeros_like(mo_energy)
+    order = np.argsort(mo_energy)
+    remaining = float(nelec)
+    i = 0
+    while i < len(order) and remaining > 1e-12:
+        j = i
+        while (j + 1 < len(order)
+               and mo_energy[order[j + 1]] - mo_energy[order[j]] < degen_tol):
+            j += 1
+        g = order[i:j + 1]
+        take = min(2.0 * len(g), remaining)
+        occ[g] = take / len(g)
+        remaining -= take
+        i = j + 1
+    return occ
+
+
+_ATOM_DM_CACHE = {}
+
+
+def _atomic_dm_cached(sym, basis):
+    key = (sym, str(basis))
+    if key not in _ATOM_DM_CACHE:
+        _ATOM_DM_CACHE[key] = _atomic_rhf_dm(sym, basis)
+    return _ATOM_DM_CACHE[key]
+
+
+def _atomic_rhf_dm(sym, basis):
+    """Spherically-averaged fractional-occupation atomic RHF density in
+    the given basis (damped fixed-point iteration; guess quality only)."""
+    from pyscf_mpcc_tpu.gto.elements import charge as _elem_charge
+    from pyscf_mpcc_tpu.gto.mole import Mole
+    mol = Mole(atom=[[sym, (0.0, 0.0, 0.0)]], basis=basis,
+               spin=_elem_charge(sym) % 2)
+    mol.build()
+    S, T = gto.intor_ovlp_kin(mol)
+    h = T + gto.intor_nuc(mol)
+    eri = gto.intor_eri(mol)
+    nelec = int(mol.nelectron)
+    e, c = scipy.linalg.eigh(h, S)
+    dm = (c * _frac_occ(e, nelec)) @ c.T
+    e_last = np.inf
+    for _ in range(200):
+        j = np.einsum("pqrs,rs->pq", eri, dm, optimize=True)
+        k = np.einsum("prqs,rs->pq", eri, dm, optimize=True)
+        f = h + j - 0.5 * k
+        e, c = scipy.linalg.eigh(f, S)
+        dm_new = (c * _frac_occ(e, nelec)) @ c.T
+        dm = 0.7 * dm_new + 0.3 * dm
+        en = float(np.einsum("pq,pq->", dm, h + 0.5 * (j - 0.5 * k)))
+        if abs(en - e_last) < 1e-10:
+            break
+        e_last = en
+    return dm
+
+
 class SCFBase:
     conv_tol = 1e-11
     conv_tol_grad = None
     max_cycle = 100
     diis_space = 8
+    init_guess_scheme = "atom"
+    # virtual-space level shift (Hartree) applied to the DIIS-extrapolated
+    # Fock before diagonalization (reference scf/hf.py level_shift):
+    # damps occupation flipping in small-gap systems; the converged
+    # density/energy are shift-independent.
+    level_shift = 0.0
+
+    def _shift_fock(self, fock, dm_half):
+        """F + shift * (S - S P S): lifts the virtual subspace."""
+        if not self.level_shift:
+            return fock
+        S = self.S
+        return fock + self.level_shift * (S - S @ dm_half @ S)
 
     def __init__(self, mol, verbose=None):
         self.mol = mol
@@ -130,6 +202,29 @@ class SCFBase:
         np.fill_diagonal(guess, hd)
         return guess
 
+    def init_guess_by_atom(self):
+        """Superposition of spherically-averaged atomic RHF densities
+        (reference scf/hf.py init_guess_by_atom, the 'atom' guess):
+        solve a small fractional-occupation atomic SCF per distinct
+        element in the molecule's own basis and assemble the
+        block-diagonal AO density.  Far more robust than the GWH core
+        guess for clusters — (H2O)8/cc-pVTZ stalls DIIS from GWH but
+        converges in ~15 cycles from here."""
+        blocks = [_atomic_dm_cached(sym, self.mol.basis)
+                  for sym in self.mol.symbols]
+        return scipy.linalg.block_diag(*blocks)
+
+    def get_init_dm(self):
+        """Initial density per ``self.init_guess_scheme`` ('atom' with
+        automatic fallback to the GWH core guess, or 'gwh'/'hcore' to
+        force the core guess)."""
+        if self.init_guess_scheme == "atom":
+            try:
+                return self.init_guess_by_atom()
+            except Exception as exc:  # unusual basis: fall back to GWH
+                self.log.info("atom init guess failed (%s); using GWH", exc)
+        return None
+
     def eig(self, F, S):
         e, c = scipy.linalg.eigh(F, S)
         return e, c
@@ -179,6 +274,8 @@ class RHF(SCFBase):
         mol = self.mol
         S = self.S
         if dm0 is None:
+            dm0 = self.get_init_dm()
+        if dm0 is None:
             fock = self.init_guess()
         else:
             fock = self.get_fock(dm0)
@@ -193,6 +290,7 @@ class RHF(SCFBase):
             # DIIS on the commutator FDS - SDF (orthonormal-basis error)
             err = fock @ dm @ S - S @ dm @ fock
             fock = diis.update(fock, xerr=err).reshape(S.shape)
+            fock = self._shift_fock(fock, dm * 0.5)
             e = self.energy_elec(dm, self.get_fock(dm)) + self.e_nuc
             gnorm = np.linalg.norm(err)
             self.log.debug("SCF cycle %d  E = %.14f  dE = %.3e  |FDS-SDF| = %.3e",
@@ -238,6 +336,10 @@ class UHF(SCFBase):
     def kernel(self, dm0=None):
         S = self.S
         if dm0 is None:
+            da = self.get_init_dm()
+            if da is not None:
+                dm0 = np.array([da, da]) * 0.5
+        if dm0 is None:
             g = self.init_guess()
             e0, c0 = self.eig(g, S)
             occ = self.get_occ(np.array([e0, e0]))
@@ -254,6 +356,8 @@ class UHF(SCFBase):
                 (fock[0] @ dm[0] @ S - S @ dm[0] @ fock[0]).ravel(),
                 (fock[1] @ dm[1] @ S - S @ dm[1] @ fock[1]).ravel()])
             fock = diis.update(fock, xerr=err).reshape(2, *S.shape)
+            fock = np.array([self._shift_fock(fock[0], dm[0]),
+                             self._shift_fock(fock[1], dm[1])])
             ea, ca = self.eig(fock[0], S)
             eb, cb = self.eig(fock[1], S)
             mo_energy = np.array([ea, eb])
@@ -287,6 +391,10 @@ class ROHF(UHF):
         S = self.S
         na, nb = self.mol.nelec
         if dm0 is None:
+            da = self.get_init_dm()
+            if da is not None:
+                dm0 = np.array([da, da]) * 0.5
+        if dm0 is None:
             g = self.init_guess()
             e0, c0 = self.eig(g, S)
             occ = self.get_occ(np.array([e0, e0]))
@@ -303,6 +411,7 @@ class ROHF(UHF):
             feff = self._roothaan_fock(fock_uhf, dm, S)
             err = feff @ (dm_tot * 0.5) @ S - S @ (dm_tot * 0.5) @ feff
             feff = diis.update(feff, xerr=err).reshape(S.shape)
+            feff = self._shift_fock(feff, dm_tot * 0.5)
             e0, c0 = self.eig(feff, S)
             mo_coeff = np.array([c0, c0])
             mo_occ = self.get_occ(np.array([e0, e0]))
