@@ -63,24 +63,34 @@ def stage_fp32():
     from pyscf_mpcc_tpu.cc import eris as eris_mod
     from pyscf_mpcc_tpu.cc import lambda_ad, rccsd
     from pyscf_mpcc_tpu.lib import memory as _mem
-    from pyscf_mpcc_tpu.scf.hf import _JKDF
 
     t0 = time.time()
-    mol, mf = build_mf()
-    mf.with_df.build()
-    mf._jk = _JKDF(mf.with_df.B_ao(), device=True)
-    mf.kernel()
-    print(f"[{time.time()-t0:7.1f}s] E(DF-RHF) = {mf.e_tot:.10f} "
-          f"converged={mf.converged}", flush=True)
-    assert mf.converged
-
-    nocc = mol.nelectron // 2 - FROZEN
-    mo = np.asarray(mf.mo_coeff)[:, FROZEN:]
-    fock_ao = np.asarray(mf.get_fock(mf.make_rdm1()))
-    B = np.asarray(mf.with_df.B_ao())
-    os.makedirs(SCRATCH, exist_ok=True)
-    np.savez(os.path.join(SCRATCH, "scf.npz"), mo=mo, fock_ao=fock_ao,
-             e_scf=mf.e_tot)
+    scf_path = os.path.join(SCRATCH, "scf.npz")
+    nelectron = None
+    if "--reuse-scf" in sys.argv and os.path.exists(scf_path):
+        # host SCF stage is deterministic; reuse it when iterating on the
+        # device stage (e.g. after a TPU-worker restart)
+        z = np.load(scf_path)
+        mo_full, fock_ao, B = z["mo_full"], z["fock_ao"], z["B"]
+        e_scf, nelectron = float(z["e_scf"]), int(z["nelectron"])
+        print(f"[{time.time()-t0:7.1f}s] SCF reused: E = {e_scf:.10f}",
+              flush=True)
+    else:
+        mol, mf = build_mf()
+        mf.with_df.build()
+        mf.kernel()  # host J/K: the device enters only for CCSD+Lambda
+        print(f"[{time.time()-t0:7.1f}s] E(DF-RHF) = {mf.e_tot:.10f} "
+              f"converged={mf.converged}", flush=True)
+        assert mf.converged
+        nelectron, e_scf = mol.nelectron, mf.e_tot
+        mo_full = np.asarray(mf.mo_coeff)
+        fock_ao = np.asarray(mf.get_fock(mf.make_rdm1()))
+        B = np.asarray(mf.with_df.B_ao())
+        os.makedirs(SCRATCH, exist_ok=True)
+        np.savez(scf_path, mo_full=mo_full, fock_ao=fock_ao, B=B,
+                 e_scf=e_scf, nelectron=nelectron)
+    nocc = nelectron // 2 - FROZEN
+    mo = mo_full[:, FROZEN:]
 
     er = eris_mod.make_eris_df(B, mo, fock_ao, nocc, dtype=jnp.float32,
                                keep_ovvv=False)
@@ -90,17 +100,17 @@ def stage_fp32():
           f"nvir={nvir} naux={er.Lvv.shape[0]} ntile={ntile}", flush=True)
 
     conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-7, conv_tol_normt=3e-6,
-                                     max_cycle=80, ntile=ntile, verbose=4)
+                                     max_cycle=80, ntile=ntile, verbose=5)
     print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
           f"converged={conv}", flush=True)
     cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6, max_cycle=80,
-                                  ntile=NTILE_LAMBDA, verbose=4)
+                                  ntile=NTILE_LAMBDA, verbose=5)
     print(f"[{time.time()-t0:7.1f}s] lambda converged={cl}", flush=True)
     np.savez(os.path.join(SCRATCH, "amps.npz"),
              t1=np.asarray(t1), t2=np.asarray(t2),
              l1=np.asarray(l1), l2=np.asarray(l2))
     out = dict(stage="fp32", e32=float(e32), conv=bool(conv and cl),
-               e_scf=float(mf.e_tot), nocc=nocc, nvir=int(nvir),
+               e_scf=e_scf, nocc=nocc, nvir=int(nvir),
                device=str(jax.devices()[0]), wall_s=round(time.time() - t0, 1))
     print("W8PARITY " + json.dumps(out), flush=True)
 
@@ -116,12 +126,9 @@ def stage_fp64():
 
     t0 = time.time()
     z = np.load(os.path.join(SCRATCH, "scf.npz"))
-    mol, mf = build_mf()
-    mf.with_df.build()
-    B = np.asarray(mf.with_df.B_ao())  # host fp64 build is deterministic
-    nocc = mol.nelectron // 2 - FROZEN
-    er = eris_mod.make_eris_df(B, z["mo"], z["fock_ao"], nocc,
-                               keep_ovvv=False)
+    nocc = int(z["nelectron"]) // 2 - FROZEN
+    er = eris_mod.make_eris_df(z["B"], z["mo_full"][:, FROZEN:],
+                               z["fock_ao"], nocc, keep_ovvv=False)
     print(f"[{time.time()-t0:7.1f}s] fp64 eris on host", flush=True)
     a = np.load(os.path.join(SCRATCH, "amps.npz"))
     e_lagr = float(lambda_ad.lagrangian_energy(
@@ -135,7 +142,9 @@ def stage_fp64():
 
 def main():
     env = dict(os.environ)
-    r32 = subprocess.run([sys.executable, __file__, "--stage32"], env=env,
+    extra = [a for a in sys.argv[1:] if a == "--reuse-scf"]
+    r32 = subprocess.run([sys.executable, __file__, "--stage32"] + extra,
+                         env=env,
                          capture_output=True, text=True, timeout=3600)
     sys.stdout.write(r32.stdout)
     sys.stderr.write(r32.stderr[-2000:])

@@ -50,11 +50,13 @@ def _itemsize(dtype):
 def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None):
     """Tile count for the DF vvvv ladder (cc/rccsd._ladder_df).
 
-    Working set per tile beyond the persistent tensors: the tile's
-    W block (ta, nvir, nvir, ?) dominated by w = (ta, nvir, nvir) x ...
-    einsum intermediate of size ta*nvir^2*nocc? — conservatively the
-    (nvir/ntile, nvir, nvir) dressed-integral block plus the t2-sized
-    output, i.e. bytes_per_tile ~ (nvir^3/ntile + nocc^2 nvir^2) * isz.
+    Working set per tile beyond the persistent tensors: the dressed
+    4-index W block w[a_tile, c, b, d] = (ta, nvir, nvir, nvir) that
+    tile_fn materializes before contracting with tau (cc/rccsd._ladder_df
+    "Lac,Lbd->acbd"), i.e. bytes_per_tile ~ (nvir^4/ntile) * isz * 2
+    (block + its double buffer).  An earlier revision modeled only three
+    virtual dims and chose ntile=1..8 at (H2O)8/cc-pVTZ scale — a 19.5 GB
+    allocation the device compiler rejects.
     Returns the smallest divisor `ntile` of nvir whose per-tile block
     fits in ~1/4 of the budget (several buffers are live at once under
     XLA double-buffering of lax.map).
@@ -66,7 +68,7 @@ def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None):
     avail = max(budget - persistent, budget // 8)
     divisors = [d for d in range(1, nvir + 1) if nvir % d == 0]
     for ntile in divisors:
-        per_tile = (nvir // ntile) * nvir * nvir * isz * 2
+        per_tile = (nvir // ntile) * nvir ** 3 * isz * 2
         if per_tile <= avail // 4:
             return ntile
     return nvir
