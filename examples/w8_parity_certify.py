@@ -38,7 +38,14 @@ sys.path.insert(0, os.path.join(_HERE, ".."))
 
 SCRATCH = os.path.join(_HERE, "..", ".scratch", "w8_parity")
 FROZEN = 8
-NTILE_LAMBDA = 8  # occupied-tile count for the Lambda/residual ladder
+
+
+def _lambda_ntile(nvir, base):
+    """Ladder tile count for the Lambda/residual pass: the vjp through
+    the DF ladder roughly doubles the live block set, so take the
+    smallest divisor of nvir at least twice the forward choice."""
+    divs = [d for d in range(1, nvir + 1) if nvir % d == 0]
+    return min([d for d in divs if d >= 2 * base] or [nvir])
 
 
 def build_mf():
@@ -104,7 +111,8 @@ def stage_fp32():
     print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
           f"converged={conv}", flush=True)
     cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6, max_cycle=80,
-                                  ntile=NTILE_LAMBDA, verbose=5)
+                                  ntile=_lambda_ntile(nvir, ntile),
+                                  verbose=5)
     print(f"[{time.time()-t0:7.1f}s] lambda converged={cl}", flush=True)
     np.savez(os.path.join(SCRATCH, "amps.npz"),
              t1=np.asarray(t1), t2=np.asarray(t2),
@@ -131,10 +139,14 @@ def stage_fp64():
                                z["fock_ao"], nocc, keep_ovvv=False)
     print(f"[{time.time()-t0:7.1f}s] fp64 eris on host", flush=True)
     a = np.load(os.path.join(SCRATCH, "amps.npz"))
+    nvir = a["t1"].shape[1]
+    from pyscf_mpcc_tpu.lib import memory as _mem
+    nt64 = _mem.plan_ladder_ntile(nocc, nvir, z["B"].shape[0],
+                                  dtype="float64", budget=48 * 2**30)
     e_lagr = float(lambda_ad.lagrangian_energy(
         jnp.asarray(a["t1"], jnp.float64), jnp.asarray(a["t2"], jnp.float64),
         jnp.asarray(a["l1"], jnp.float64), jnp.asarray(a["l2"], jnp.float64),
-        er, ntile=NTILE_LAMBDA))
+        er, ntile=nt64))
     out = dict(stage="fp64", e_lagr=e_lagr,
                wall_s=round(time.time() - t0, 1))
     print("W8PARITY " + json.dumps(out), flush=True)

@@ -86,7 +86,12 @@ def _ladder_df(tau, t1, eris, ntile):
         w = jnp.einsum("Lac,Lbd->acbd", ld_tile, Ld)
         return jnp.einsum("acbd,ijcd->ijab", w, tau)
 
-    out = jax.lax.map(tile_fn, Ld_t)  # (ntile, nocc, nocc, ta, nvir)
+    # checkpoint: under vjp (Lambda/RDM solvers) lax.map would otherwise
+    # save every tile's 4-index w block for the backward pass — an
+    # O(nvir^4) spill (129 GB at (H2O)8/cc-pVTZ).  Rematerializing w per
+    # tile costs one extra dressed dot in the backward sweep and nothing
+    # in the forward-only solve.
+    out = jax.lax.map(jax.checkpoint(tile_fn), Ld_t)  # (ntile, o, o, ta, v)
     nocc = tau.shape[0]
     out = out.transpose(1, 2, 0, 3, 4).reshape(nocc, nocc, nvir, nvir)
     # subtract the quadratic dressing artifact
