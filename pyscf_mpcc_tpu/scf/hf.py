@@ -15,6 +15,7 @@ import scipy.linalg
 from pyscf_mpcc_tpu import gto
 from pyscf_mpcc_tpu.lib import logger as lg
 from pyscf_mpcc_tpu.lib.diis import DIIS
+from pyscf_mpcc_tpu.lib.stream import StreamObject
 
 
 class _JKIncore:
@@ -132,7 +133,11 @@ def _atomic_rhf_dm(sym, basis):
     return dm
 
 
-class SCFBase:
+class SCFBase(StreamObject):
+    """Mean-field base.  A StreamObject like the reference's scf.hf.SCF:
+    ``RHF(mol).set(conv_tol=1e-10).run()`` chains, ``check_sanity()``
+    audits attribute names, ``density_fit()`` upgrades J/K to DF."""
+
     conv_tol = 1e-11
     conv_tol_grad = None
     max_cycle = 100
@@ -166,6 +171,7 @@ class SCFBase:
         self.mo_coeff = None
         self.mo_energy = None
         self.mo_occ = None
+        self._declare_keys()
 
     # -- hooks ----------------------------------------------------------
     def get_hcore(self):
