@@ -106,13 +106,16 @@ def stage_fp32():
     print(f"[{time.time()-t0:7.1f}s] fp32 eris on device: nocc={nocc} "
           f"nvir={nvir} naux={er.Lvv.shape[0]} ntile={ntile}", flush=True)
 
+    # device DIIS: the host ring would haul ~1.5 GB of amplitudes through
+    # the dev tunnel every cycle (measured 80 s/cycle; compute is ~10 s)
     conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-7, conv_tol_normt=3e-6,
-                                     max_cycle=80, ntile=ntile, verbose=5)
+                                     max_cycle=80, ntile=ntile, verbose=5,
+                                     diis_backend="device")
     print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
           f"converged={conv}", flush=True)
     cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6, max_cycle=80,
                                   ntile=_lambda_ntile(nvir, ntile),
-                                  verbose=5)
+                                  verbose=5, diis_backend="device")
     print(f"[{time.time()-t0:7.1f}s] lambda converged={cl}", flush=True)
     np.savez(os.path.join(SCRATCH, "amps.npz"),
              t1=np.asarray(t1), t2=np.asarray(t2),

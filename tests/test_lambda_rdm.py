@@ -47,3 +47,15 @@ def test_residual_zero_at_solution():
     r1, r2 = lambda_ad.residual(t1, t2, er)
     assert float(jnp.abs(r1).max()) < 1e-8
     assert float(jnp.abs(r2).max()) < 1e-8
+
+
+def test_lambda_device_diis_matches_host():
+    _, er, _, t1, t2 = _solve()
+    ch, l1h, l2h = lambda_ad.kernel(t1, t2, er, conv_tol=1e-9, max_cycle=60,
+                                    diis_backend="host")
+    cd, l1d, l2d = lambda_ad.kernel(t1, t2, er, conv_tol=1e-9, max_cycle=60,
+                                    diis_backend="device")
+    assert ch and cd
+    # both converge to the same stationary multipliers
+    assert float(jnp.abs(l1h - l1d).max()) < 1e-8
+    assert float(jnp.abs(l2h - l2d).max()) < 1e-8
