@@ -106,13 +106,25 @@ def stage_fp32():
     print(f"[{time.time()-t0:7.1f}s] fp32 eris on device: nocc={nocc} "
           f"nvir={nvir} naux={er.Lvv.shape[0]} ntile={ntile}", flush=True)
 
-    # device DIIS: the host ring would haul ~1.5 GB of amplitudes through
-    # the dev tunnel every cycle (measured 80 s/cycle; compute is ~10 s)
-    conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-7, conv_tol_normt=3e-6,
-                                     max_cycle=80, ntile=ntile, verbose=5,
-                                     diis_backend="device")
-    print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
-          f"converged={conv}", flush=True)
+    t_path = os.path.join(SCRATCH, "amps_t.npz")
+    if "--reuse-scf" in sys.argv and os.path.exists(t_path):
+        zt = np.load(t_path)
+        t1, t2 = jnp.asarray(zt["t1"]), jnp.asarray(zt["t2"])
+        e32, conv = float(zt["e32"]), True
+        print(f"[{time.time()-t0:7.1f}s] CCSD amps reused: "
+              f"E_corr = {e32:.10f}", flush=True)
+    else:
+        # device DIIS: the host ring would haul ~1.5 GB of amplitudes
+        # through the dev tunnel every cycle (measured 80 s/cycle vs ~10 s
+        # of compute)
+        conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-7,
+                                         conv_tol_normt=3e-6,
+                                         max_cycle=80, ntile=ntile,
+                                         verbose=5, diis_backend="device")
+        print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
+              f"converged={conv}", flush=True)
+        assert conv
+        np.savez(t_path, t1=np.asarray(t1), t2=np.asarray(t2), e32=e32)
     cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6, max_cycle=80,
                                   ntile=_lambda_ntile(nvir, ntile),
                                   verbose=5, diis_backend="device")

@@ -230,32 +230,42 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1,
         Lvv = Fvv_nd - jnp.einsum("kc,ka->ac", fov, t1) + lvv_t1
 
     # --- chi intermediates (Eqs. 42-45) -----------------------------------
-    Woooo = oooo.transpose(0, 2, 1, 3) \
-        + jnp.einsum("lcki,jc->klij", ovoo, t1) \
-        + jnp.einsum("kclj,ic->klij", ovoo, t1) \
-        + jnp.einsum("kcld,ic,jd->klij", ovov, t1, t1)
-    if variant != "cc2":
-        Woooo = Woooo + jnp.einsum("kcld,ijcd->klij", ovov, t2)
+    # checkpointed: under vjp (Lambda/RDM solvers) the three W tensors and
+    # tau would otherwise all be saved for the backward pass (~3 GB at
+    # (H2O)8/cc-pVTZ, the difference between fitting HBM and not);
+    # rematerializing them costs a few percent of the backward sweep and
+    # nothing in the forward-only CCSD solve.
+    @jax.checkpoint
+    def _chi(t1, t2):
+        Woooo = oooo.transpose(0, 2, 1, 3) \
+            + jnp.einsum("lcki,jc->klij", ovoo, t1) \
+            + jnp.einsum("kclj,ic->klij", ovoo, t1) \
+            + jnp.einsum("kcld,ic,jd->klij", ovov, t1, t1)
+        if variant != "cc2":
+            Woooo = Woooo + jnp.einsum("kcld,ijcd->klij", ovov, t2)
 
-    Wvoov = ovvo.transpose(2, 0, 3, 1) \
-        + vops.wvoov_t1(t1) \
-        - jnp.einsum("kcli,la->akic", ovoo, t1) \
-        - 0.5 * jnp.einsum("ldkc,ilda->akic", ovov, t2) \
-        - 0.5 * jnp.einsum("lckd,ilad->akic", ovov, t2) \
-        - jnp.einsum("ldkc,id,la->akic", ovov, t1, t1) \
-        + jnp.einsum("ldkc,ilad->akic", ovov, t2)
+        Wvoov = ovvo.transpose(2, 0, 3, 1) \
+            + vops.wvoov_t1(t1) \
+            - jnp.einsum("kcli,la->akic", ovoo, t1) \
+            - 0.5 * jnp.einsum("ldkc,ilda->akic", ovov, t2) \
+            - 0.5 * jnp.einsum("lckd,ilad->akic", ovov, t2) \
+            - jnp.einsum("ldkc,id,la->akic", ovov, t1, t1) \
+            + jnp.einsum("ldkc,ilad->akic", ovov, t2)
 
-    Wvovo = oovv.transpose(2, 0, 3, 1) \
-        + vops.wvovo_t1(t1) \
-        - jnp.einsum("lcki,la->akci", ovoo, t1) \
-        - 0.5 * jnp.einsum("lckd,ilda->akci", ovov, t2) \
-        - jnp.einsum("lckd,id,la->akci", ovov, t1, t1)
+        Wvovo = oovv.transpose(2, 0, 3, 1) \
+            + vops.wvovo_t1(t1) \
+            - jnp.einsum("lcki,la->akci", ovoo, t1) \
+            - 0.5 * jnp.einsum("lckd,ilda->akci", ovov, t2) \
+            - jnp.einsum("lckd,id,la->akci", ovov, t1, t1)
+
+        if variant == "cc2":
+            tau = jnp.einsum("ia,jb->ijab", t1, t1)
+        else:
+            tau = t2 + jnp.einsum("ia,jb->ijab", t1, t1)
+        return Woooo, Wvoov, Wvovo, tau
 
     # --- T2 (Eq. 36) ------------------------------------------------------
-    if variant == "cc2":
-        tau = jnp.einsum("ia,jb->ijab", t1, t1)
-    else:
-        tau = t2 + jnp.einsum("ia,jb->ijab", t1, t1)
+    Woooo, Wvoov, Wvovo, tau = _chi(t1, t2)
 
     # All P(ij|ab)-symmetrized pieces accumulate into ONE asymmetric buffer
     # K, symmetrized once at the end — this keeps the number of live
