@@ -26,7 +26,7 @@ class RERIs(NamedTuple):
     ovoo: jnp.ndarray        # (ia|jk)
     ovov: jnp.ndarray        # (ia|jb)
     oovv: jnp.ndarray        # (ij|ab)
-    ovvo: jnp.ndarray        # (ia|bj)
+    ovvo: Optional[jnp.ndarray]  # (ia|bj); None -> derived from ovov
     ovvv: jnp.ndarray        # (ia|bc)
     vvvv: Optional[jnp.ndarray]  # (ab|cd); None in DF mode
     Lvv: Optional[jnp.ndarray] = None   # (naux, a, b) DF factor, DF mode
@@ -40,6 +40,15 @@ class RERIs(NamedTuple):
     @property
     def nvir(self):
         return self.fock.shape[0] - self.oooo.shape[0]
+
+    def get_ovvo(self):
+        """(ia|bj).  For real orbitals (ia|bj) = (ia|jb), so DF mode
+        stores no ovvo block at all — the transpose fuses into whatever
+        dot consumes it under jit, saving an nocc^2 nvir^2 HBM tensor
+        (736 MB at (H2O)8/cc-pVTZ)."""
+        if self.ovvo is not None:
+            return self.ovvo
+        return jnp.transpose(self.ovov, (0, 1, 3, 2))
 
 
 def make_eris_incore(eri_ao, mo_coeff, fock_ao, nocc, dtype=None):
@@ -89,8 +98,7 @@ def make_eris_df(b_ao, mo_coeff, fock_ao, nocc, dtype=None, keep_ovvv=True):
         ovoo=jnp.einsum("Lia,Ljk->iajk", Lov, Loo),
         ovov=jnp.einsum("Lia,Ljb->iajb", Lov, Lov),
         oovv=jnp.einsum("Lij,Lab->ijab", Loo, Lvv),
-        ovvo=jnp.einsum("Lia,Lbj->iabj", Lov,
-                        jnp.transpose(Lov, (0, 2, 1))),
+        ovvo=None,               # == ovov.transpose(0,1,3,2); derived lazily
         ovvv=ovvv,
         vvvv=None,
         Lvv=Lvv, Lov=Lov, Loo=Loo,

@@ -180,7 +180,7 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1,
 
     ovov = eris.ovov
     ovoo = eris.ovoo
-    ovvo = eris.ovvo
+    ovvo = eris.get_ovvo()
     oovv = eris.oovv
     oooo = eris.oooo
     vops = _OvvvOps(eris)

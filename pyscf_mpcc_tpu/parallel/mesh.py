@@ -59,7 +59,7 @@ def shard_eris(eris: RERIs, mesh, axis_name="dp"):
         ovoo=put(eris.ovoo, repl),
         ovov=put(eris.ovov, repl),
         oovv=put(eris.oovv, repl),
-        ovvo=put(eris.ovvo, repl),
+        ovvo=put(eris.ovvo, repl) if eris.ovvo is not None else None,
         ovvv=put(eris.ovvv, row) if eris.ovvv is not None else None,
         vvvv=put(eris.vvvv, repl),
         Lvv=put(eris.Lvv, row),   # shard over naux
