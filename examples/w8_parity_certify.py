@@ -114,20 +114,23 @@ def stage_fp32():
         print(f"[{time.time()-t0:7.1f}s] CCSD amps reused: "
               f"E_corr = {e32:.10f}", flush=True)
     else:
-        # device DIIS: the host ring would haul ~1.5 GB of amplitudes
-        # through the dev tunnel every cycle (measured 80 s/cycle vs ~10 s
-        # of compute)
+        # host DIIS: hauls ~1.5 GB of amplitudes over the dev tunnel per
+        # cycle (80 s/cycle measured vs ~10 s compute), but the on-device
+        # ring (2 x space x |t|) costs 8.8 GB of HBM at this scale and
+        # OOMs next to the update working set on a single 16 GB chip.
+        # On a pod slice the ring shards with the mesh and device DIIS is
+        # the right choice; over a tunnel the host ring wins.
         conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-7,
                                          conv_tol_normt=3e-6,
                                          max_cycle=80, ntile=ntile,
-                                         verbose=5, diis_backend="device")
+                                         verbose=5, diis_backend="host")
         print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
               f"converged={conv}", flush=True)
         assert conv
         np.savez(t_path, t1=np.asarray(t1), t2=np.asarray(t2), e32=e32)
     cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6, max_cycle=80,
                                   ntile=_lambda_ntile(nvir, ntile),
-                                  verbose=5, diis_backend="device")
+                                  verbose=5, diis_backend="host")
     print(f"[{time.time()-t0:7.1f}s] lambda converged={cl}", flush=True)
     np.savez(os.path.join(SCRATCH, "amps.npz"),
              t1=np.asarray(t1), t2=np.asarray(t2),
