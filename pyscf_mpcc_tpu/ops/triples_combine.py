@@ -106,28 +106,6 @@ def _combine_kernel(o, T, act_mode, dtype, refs):
     def occ_cell(vals, r, c):
         return vals[r][c] if r == 2 else vals[r]
 
-    # ---- batched W2 dots: one MXU call per perm covering the whole
-    # C column (replaces 6*T tiny (o^2,o)x(o,o) dots whose N=o lanes
-    # ran the systolic array nearly empty; K=o stays shallow but M/N
-    # now fill it).  Cell c slices the column result below.
-    w2cols = []
-    for p in PERMS:
-        xi, yi, zi = p
-        blk = t2pv[PAIRS.index((zi, yi))]
-        if xi == 2:
-            # vooo varies with the cell: fuse (cell, i'j') into M
-            w2 = jax.lax.dot_general(
-                voov[2].reshape(T * o * o, o), blk,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype).reshape(T, o * o, o)
-            w2cols.append(w2)                     # [c] -> (o^2, o)
-        else:
-            # t2 pair varies with the cell: fuse (cell, k') into N
-            w2 = jax.lax.dot_general(
-                voov[xi], blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=dtype)
-            w2cols.append(w2)                     # (o^2, T, o)
-
     for c in range(T):
         # ---- W1: canonical up to a non-minor (1,0,2) swap
         accW = jnp.zeros((o, o, o), dtype)
@@ -138,8 +116,11 @@ def _combine_kernel(o, T, act_mode, dtype, refs):
         for pi, p in enumerate(PERMS):
             xi, yi, zi = p
             inv = (p.index(0), p.index(1), p.index(2))
-            w2b = (w2cols[pi][c] if xi == 2
-                   else w2cols[pi][:, c]).reshape(o, o, o)
+            t2mk = pair_cell(t2pv, zi, yi, c)
+            vb = voov[xi][c] if xi == 2 else voov[xi]
+            w2b = jax.lax.dot_general(
+                vb, t2mk, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype).reshape(o, o, o)
             accW = accW - jnp.transpose(w2b, inv)
             # v = ((i'x|j'y) t1[k',z] + t2[j',i'|y,x] fvo[z,k'])/2 placed
             # on canonical axes: source occupied d lands at inv.index(d)
