@@ -228,15 +228,34 @@ def main():
         print("RESULT:" + json.dumps(out), flush=True)
         return
 
-    # The dev-tunnel TPU worker restarts take tens of minutes after a crash;
-    # wait (bounded) for it instead of burning the shape ladder's timeouts.
-    deadline = time.time() + 1500
-    while not _device_alive() and time.time() < deadline:
-        time.sleep(60)
+    # Global wall-clock budget.  The round-2 lesson: the all-or-nothing
+    # layout (device wait + shape child + 2x parity + triples BEFORE any
+    # output) timed out under the driver and recorded NOTHING.  Now the
+    # headline JSON line is printed the moment the first shape child
+    # succeeds; the enrichment children run under what remains of the
+    # budget and a final enriched line (same schema) is emitted after.
+    # A driver that keeps the first line gets the headline; one that keeps
+    # the last gets the enriched record.
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2100))
+    deadline = t_start + budget
+
+    def left():
+        return deadline - time.time()
+
+    # Bounded wait for a wedged TPU worker (restarts take 30-60 min; do not
+    # spend more than half the budget hoping).
+    wait_deadline = min(time.time() + 900, t_start + 0.5 * budget)
+    while not _device_alive() and time.time() < wait_deadline:
+        time.sleep(30)
 
     ref = reference_cpu_tflops()
+    headline = None
+    detail = None
     for cfg in CONFIGS:
-        r = _run_child("--child", cfg, cfg["timeout"])
+        if left() < 60:
+            break
+        r = _run_child("--child", cfg, min(cfg["timeout"], max(60, left())))
         if r is None:
             continue
         tflops = r["flops"] / r["sec"] / 1e12
@@ -247,13 +266,51 @@ def main():
             "device": r["device"],
             "reference_cpu_tflops": round(ref, 4),
         }
-        # on-device parity: fp32 CCSD+Lambda on the chip, fp64 Lagrangian
-        # certification on host (H2O/cc-pVTZ; SURVEY section 7 risk (c))
-        # generous timeouts: a TPU-worker restart clears the remote
-        # compile cache and every child then pays ~40 s per program
-        p32 = _run_child("--child-parity", {"stage": "fp32"}, 900)
-        if p32:
-            p64 = _run_child("--child-parity", {"stage": "fp64"}, 900)
+        headline = {
+            "metric": "ccsd_update_tflops",
+            "value": round(tflops, 3),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(tflops / ref, 2),
+            "detail": detail,
+        }
+        print(json.dumps(headline), flush=True)
+        break
+    if headline is None:
+        print(json.dumps({
+            "metric": "ccsd_update_tflops", "value": 0.0, "unit": "TFLOP/s",
+            "vs_baseline": 0.0,
+            "detail": {
+                "error": "no configuration completed (device unavailable)"},
+        }), flush=True)
+        return
+
+    cfg = {"nocc": detail["nocc"], "nvir": detail["nvir"],
+           "naux": detail["naux"]}
+    enriched = False
+    # (T) throughput first (it is the round's perf claim), then parity.
+    if left() > 120:
+        t = _run_child("--child-t", {
+            "nocc": cfg["nocc"], "nvir": cfg["nvir"], "naux": cfg["naux"],
+            "tile": 8, "nprobe": 512}, max(120, min(600, left() - 60)))
+        if t:
+            detail["triples_fused"] = {
+                "tflops": round(t["tflops"], 2),
+                "est_full_T_sec": round(t["est_full_sec"], 1),
+                "ntiles_total": t["ntiles"],
+                "energy_finite": t["energy_finite"],
+                # 'fused' = the Pallas combine kernel ran; 'xla' = it failed
+                # to compile and the measurement is of the fallback engine
+                "engine": t.get("engine", "unknown"),
+            }
+            enriched = True
+    # on-device parity: fp32 CCSD+Lambda on the chip, fp64 Lagrangian
+    # certification on host (H2O/cc-pVTZ; SURVEY section 7 risk (c))
+    if left() > 240:
+        p32 = _run_child("--child-parity", {"stage": "fp32"},
+                         max(120, min(700, left() - 180)))
+        if p32 and left() > 120:
+            p64 = _run_child("--child-parity", {"stage": "fp64"},
+                             max(120, min(700, left() - 30)))
             if p64:
                 detail["parity_h2o_ccpvtz"] = {
                     "e_corr_ref_fp64": round(p64["e_ref"], 12),
@@ -262,30 +319,10 @@ def main():
                         round(abs(p64["e_lagr"] - p64["e_ref"]), 14),
                     "converged": bool(p32["conv"] and p64["conv"]),
                 }
-        # (T) throughput: fused Pallas engine, probe of the tile space
-        t = _run_child("--child-t", {
-            "nocc": cfg["nocc"], "nvir": cfg["nvir"], "naux": cfg["naux"],
-            "tile": 8, "nprobe": 1024}, 900)
-        if t:
-            detail["triples_fused"] = {
-                "tflops": round(t["tflops"], 2),
-                "est_full_T_sec": round(t["est_full_sec"], 1),
-                "ntiles_total": t["ntiles"],
-                "energy_finite": t["energy_finite"],
-            }
-        print(json.dumps({
-            "metric": "ccsd_update_tflops",
-            "value": round(tflops, 3),
-            "unit": "TFLOP/s",
-            "vs_baseline": round(tflops / ref, 2),
-            "detail": detail,
-        }))
-        return
-    print(json.dumps({
-        "metric": "ccsd_update_tflops", "value": 0.0, "unit": "TFLOP/s",
-        "vs_baseline": 0.0,
-        "detail": {"error": "no configuration completed (device unavailable)"},
-    }))
+                enriched = True
+    if enriched:
+        headline["detail"] = detail
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -398,29 +398,32 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
         ndev = mesh.devices.size
         ntrips = trips.shape[0]
         npad = (-ntrips) % ndev
-        if npad:
-            # pad with the last tile; duplicates are cancelled by weight 0
-            # masks? no — replicate tile 0 and subtract its energy npad times
-            pad_t = jnp.tile(trips[:1], (npad, 1))
-            trips_p = jnp.concatenate([trips, pad_t])
-        else:
-            trips_p = trips
+        # pad the tile list to a device multiple with WEIGHT-ZERO copies of
+        # tile 0: a 4th column carries the weight, the scan body multiplies
+        # the tile energy by it, so pad tiles cost one tile of compute on
+        # one device and contribute exactly nothing
+        wcol = jnp.concatenate([jnp.ones((ntrips, 1), trips.dtype),
+                                jnp.zeros((npad, 1), trips.dtype)])
+        trips_p = jnp.concatenate(
+            [jnp.concatenate([trips, jnp.tile(trips[:1], (npad, 1))]), wcol],
+            axis=1)
         axis = mesh.axis_names[0]
 
         def _scan_shard(tt, big):
+            body = tile_fn(big)
+
+            def body_w(carry, twt):
+                _, e = body(carry, twt[:3])
+                e = e * twt[3].astype(e.dtype)
+                return carry + e.astype(carry.dtype), e
+
             init = jax.lax.pvary(jnp.zeros((), dtype=acc_dtype), axis)
-            e, _ = jax.lax.scan(tile_fn(big), init, tt)
+            e, _ = jax.lax.scan(body_w, init, tt)
             return jax.lax.psum(e, axis)
 
         sharded = jax.jit(shard_map(_scan_shard, mesh=mesh,
                                     in_specs=(P(axis), P()), out_specs=P()))
-        e_sum = float(sharded(trips_p, big_arrays))
-        if npad:
-            e0, _ = jax.lax.scan(tile_fn(big_arrays),
-                                 jnp.zeros((), dtype=acc_dtype),
-                                 jnp.tile(trips[:1], (npad, 1)))
-            e_sum -= float(e0)
-        return 2.0 * e_sum
+        return 2.0 * float(sharded(trips_p, big_arrays))
 
     cache_key = (engine, T, o, nvp, str(dtype), str(acc_dtype), mode,
                  act_hole is not None,

@@ -8,8 +8,11 @@ jitted residual used by the ground-state solver — no hand-derived
 H-bar intermediates.  Davidson (lib.linalg) finds the lowest roots with
 the orbital-energy-difference diagonal as preconditioner.
 
-IP/EA sectors (ipccsd/eaccsd) operate in N+-1 spaces and need dedicated
-sigma routines; planned for the next milestone.
+IP/EA sectors (ipccsd/eaccsd, restricted + unrestricted) are implemented
+below via zero-interaction-orbital embedding: the N-+1 determinant spaces
+are realized as EE spaces of an augmented system with a non-interacting
+ghost orbital, so the same jvp-Jacobian sigma serves all sectors.
+Spin-flip EE (kernel_sf) uses the spin-orbital residual the same way.
 """
 
 from __future__ import annotations

@@ -27,120 +27,93 @@ import jax.numpy as jnp
 from pyscf_mpcc_tpu.cc import eom as eom_mod
 
 
-# ------------------------------------------------------------- utilities
-def _mat_sqrt(m, hermi=False):
-    if hermi:
-        w, v = np.linalg.eigh(m)
-        w = np.where(w >= 0, w, 0.0)
-        return (v * np.sqrt(w)[None]) @ v.T.conj()
-    w, v = np.linalg.eig(m)
-    return ((v * (w.astype(complex) ** 0.5)[None])
-            @ np.linalg.inv(v))
+# ----------------------------------------- moment-conserving pole solver
+#
+# The reference (momgfccsd.py:227-447) runs a block-Lanczos recurrence on
+# the moments to build a block-tridiagonal effective Hamiltonian.  Here the
+# SAME conserved-moment compression is obtained without any recurrence:
+# the block Krylov space {q, Aq, ..., A^niter q} has Gram and projected-
+# Hamiltonian matrices that are block-HANKEL in the moments,
+#
+#     S[i, j] = T[i + j],      H[i, j] = T[i + j + 1],
+#
+# so one global whitening X = S^(-1/2) and one dense eigensolve of
+# X H X (dimension (niter+1)*nmo — small, these are host matrices) give
+# identical poles: both constructions diagonalize the projection of A onto
+# the same subspace, and the first 2*niter+2 moments are conserved because
+# q and A^k q for k <= niter live in it exactly.  The physical couplings
+# are the first block column of S^(1/2) rotated by the eigenvectors.
+# Rank deficiency of S (Hankel matrices are ill-conditioned) is handled by
+# eigenvalue truncation in the pseudo-inverse square root — the analog of
+# the reference's per-step isqrt tolerance, applied once.
 
 
-def _mat_isqrt(m, tol=1e-16, hermi=False):
-    if hermi:
-        w, v = np.linalg.eigh(m)
-        mask = w > tol
-        w, v = w[mask], v[:, mask]
-        return (v * (w ** -0.5)[None]) @ v.T.conj()
-    w, v = np.linalg.eig(m)
-    mask = np.abs(w) >= tol
-    vinv = np.linalg.inv(v)[mask]
-    w, v = w[mask], v[:, mask]
-    return (v * (w.astype(complex) ** -0.5)[None]) @ vinv
+def _hankel(moments, shift):
+    """Block Hankel matrix  B[i, j] = moments[i + j + shift]  over all
+    (i, j) with i + j + shift < len(moments) and square block count."""
+    nblk = (len(moments) + 1 - shift) // 2
+    return np.block([[moments[i + j + shift] for j in range(nblk)]
+                     for i in range(nblk)])
 
 
-def _block_tridiagonal(a, b, c=None):
-    n = len(a)
-    z = np.zeros_like(a[0])
-    if c is None:
-        c = [x.T.conj() for x in b]
-    return np.block([[a[i] if i == j else b[j] if j == i - 1
-                      else c[i] if i == j - 1 else z
-                      for j in range(n)] for i in range(n)])
+def solve_moment_poles(moments, hermi=True, rcond=1e-12):
+    """Poles and physical couplings of the moment-conserving GF.
 
+    Returns (e, (v0, v1)) with
 
-# --------------------------------------------- block Lanczos from moments
-def block_lanczos(moments, hermi=True):
-    """On/off-diagonal blocks of the moment-conserving block-tridiagonal
-    effective Hamiltonian (reference block_lanczos_symm :227 /
-    _nosymm :324).  Returns (a, b) for hermi else (a, b, c)."""
+        moments[n][q, p]  ==  sum_k v0[q, k] * e_k**n * conj(v1[p, k])
+
+    for every supplied n.  Role of the reference's block_lanczos_symm /
+    _nosymm + build_block_tridiagonal + eigensolve chain.
+
+    Implementation: the Eigensystem Realization Algorithm on the block
+    Hankel pair — the balanced-truncation form of the Krylov projection
+    above, numerically robust where the raw Gram matrix is singular:
+
+        S = U sigma V+  (SVD, truncated at rcond)
+        A = sigma^-1/2 U+ H V sigma^-1/2     (r x r realization of Hbar)
+        couplings:  C = (U sigma^1/2)[:nmo],  B = (sigma^1/2 V+)[:, :nmo]
+        moments[n] == C A^n B  ==>  eig(A) gives poles, C/B the residues.
+
+    The moments are pre-scaled by s^-n (s = spectral-radius estimate from
+    the highest even moment) so the Hankel blocks stay O(T[0]) — without
+    this the SVD of S is dominated by the largest Hbar eigenvalue to the
+    2*niter'th power.  hermi symmetrizes the realization where exact
+    Hermiticity is assumed."""
+    moments = np.asarray(moments)
     nmo = moments.shape[-1]
-    niter = (len(moments) - 2) // 2
-    dtype = np.complex128
-    a = np.zeros((niter + 1, nmo, nmo), dtype)
-    b = np.zeros((niter, nmo, nmo), dtype)
-    c = np.zeros((niter, nmo, nmo), dtype)
-    t = np.zeros((len(moments), nmo, nmo), dtype)
-
-    from collections import defaultdict
-    v = defaultdict(lambda: np.zeros((nmo, nmo), dtype))
-    w = defaultdict(lambda: np.zeros((nmo, nmo), dtype))
-    v[0, 0] = np.eye(nmo).astype(dtype)
-    w[0, 0] = np.eye(nmo).astype(dtype)
-
-    orth = _mat_isqrt(moments[0], hermi=hermi)
-    for i in range(len(moments)):
-        t[i] = orth @ moments[i] @ orth
-    a[0] = t[1]
-
-    for i in range(niter):
-        b2 = np.zeros((nmo, nmo), dtype)
-        c2 = np.zeros((nmo, nmo), dtype)
-        for j in range(i + 2):
-            for l in range(i + 1):
-                if hermi:
-                    b2 += v[i, l].T.conj() @ t[j + l + 1] @ v[i, j - 1]
-                else:
-                    b2 += w[i, l] @ t[j + l + 1] @ v[i, j - 1]
-                    c2 += w[i, j - 1] @ t[j + l + 1] @ v[i, l]
-        b2 -= a[i] @ a[i]
-        if not hermi:
-            c2 -= a[i] @ a[i]
-        if i:
-            b2 -= (b[i - 1] if hermi else c[i - 1]) @ (b[i - 1] if hermi
-                                                       else c[i - 1])
-            if not hermi:
-                c2 -= b[i - 1] @ b[i - 1]
-        b[i] = _mat_sqrt(b2, hermi=hermi)
-        binv = _mat_isqrt(b2, hermi=hermi)
-        if not hermi:
-            c[i] = _mat_sqrt(c2)
-            cinv = _mat_isqrt(c2)
-        for j in range(i + 2):
-            r = v[i, j - 1] - v[i, j] @ a[i] - v[i - 1, j] @ b[i - 1]
-            if hermi:
-                v[i + 1, j] = r @ binv
-            else:
-                v[i + 1, j] = r @ cinv
-                s = w[i, j - 1] - a[i] @ w[i, j] - c[i - 1] @ w[i - 1, j]
-                w[i + 1, j] = binv @ s
-        for j in range(i + 2):
-            for l in range(i + 2):
-                if hermi:
-                    a[i + 1] += (v[i + 1, l].T.conj() @ t[j + l + 1]
-                                 @ v[i + 1, j])
-                else:
-                    a[i + 1] += w[i + 1, l] @ t[j + l + 1] @ v[i + 1, j]
+    # spectral-radius scaling: ||T[2k]|| ~ s^(2k) ||T[0]||
+    k = (len(moments) - 1) // 2 * 2
+    n0 = np.linalg.norm(moments[0])
+    s = (np.linalg.norm(moments[k]) / max(n0, 1e-300)) ** (1.0 / max(k, 1))
+    s = max(s, 1e-3)
+    scaled = np.stack([m / s ** n for n, m in enumerate(moments)])
+    S = _hankel(scaled, 0)
+    H = _hankel(scaled, 1)
     if hermi:
-        return a, b
-    return a, b, c
-
-
-def _eig_blocks(nmo, blocks, orth, hermi=True):
+        S = 0.5 * (S + S.T.conj())
+        H = 0.5 * (H + H.T.conj())
+    U, sig, Vh = np.linalg.svd(S)
+    keep = sig > rcond * max(sig[0], 1e-300)
+    U, sig, Vh = U[:, keep], sig[keep], Vh[keep]
+    isq = sig ** -0.5
+    A = (isq[:, None] * (U.T.conj() @ H @ Vh.T.conj())) * isq[None, :]
+    C = (U * np.sqrt(sig)[None])[:nmo]
+    B = (np.sqrt(sig)[:, None] * Vh)[:, :nmo]
     if hermi:
-        a, b = blocks
-        h = _block_tridiagonal(a, b)
-        e, u = np.linalg.eigh(h)
-        vv = orth @ u[:nmo]
-        return e, (vv, vv)
-    a, b, c = blocks
-    h = _block_tridiagonal(a, b, c)
-    e, u = np.linalg.eig(h)
-    vl = orth @ u[:nmo]
-    vr = (np.linalg.inv(u)[:, :nmo] @ orth).T.conj()
-    return e, (vl, vr)
+        A = 0.5 * (A + A.T.conj())
+        e, u = np.linalg.eigh(A)
+        uinv = u.T.conj()
+    else:
+        e, u = np.linalg.eig(A)
+        uinv = np.linalg.inv(u)
+        C = C.astype(complex)
+        B = B.astype(complex)
+    e = e * s
+    v0 = C @ u
+    v1 = (uinv @ B).T.conj()
+    order = np.argsort(e.real)
+    return e[order], (v0[:, order], v1[:, order])
 
 
 def _lambda_to_standard(l1, l2):
@@ -348,16 +321,8 @@ class MomGFCCSD:
             part_moments = 0.5 * (part_moments
                                   + part_moments.swapaxes(1, 2).conj())
         hermi = self.hermi_solver
-        for which, mom in (("h", hole_moments), ("p", part_moments)):
-            blocks = block_lanczos(mom, hermi=hermi)
-            orth = _mat_sqrt(mom[0], hermi=hermi)
-            e, v = _eig_blocks(self.nmo, blocks, orth, hermi=hermi)
-            order = np.argsort(e.real)
-            e, v = e[order], (v[0][:, order], v[1][:, order])
-            if which == "h":
-                self.eh, self.vh = e, v
-            else:
-                self.ep, self.vp = e, v
+        self.eh, self.vh = solve_moment_poles(hole_moments, hermi=hermi)
+        self.ep, self.vp = solve_moment_poles(part_moments, hermi=hermi)
         return self.eh, self.vh, self.ep, self.vp
 
     def moment_errors(self, moments, e, v):
