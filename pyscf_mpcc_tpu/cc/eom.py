@@ -306,6 +306,73 @@ def kernel_ea(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
 
 
 # ---------------------------------------------------------------------------
+# restricted TRIPLET EE (reference EOMEETriplet, pyscf/cc/eom_rccsd.py:977)
+# ---------------------------------------------------------------------------
+#
+# At a closed-shell reference the UCCSD Jacobian commutes with global
+# alpha/beta exchange (sigma); Ms = 0 excitation space splits into the
+# sigma-symmetric (singlet) and sigma-antisymmetric (triplet) sectors.
+# The spin-adapted kernel_ee covers the singlet; here the tangent is
+# constrained to the antisymmetric sector —
+#     r1b = -r1a,   rbb = -raa,   rab[J,i,B,a] = -rab[i,J,a,B]
+# — and the SAME validated ee_sigma_u drives the Davidson solve.  No
+# hand-derived triplet intermediates (the reference carries a separate
+# ~400-line eomee_ccsd_matvec_triplet).
+
+
+def embed_restricted(t1, t2):
+    """RCCSD amplitudes -> UCCSD pytrees at a closed-shell reference."""
+    t2aa = t2 - t2.transpose(0, 1, 3, 2)
+    return (t1, t1), (t2aa, t2, t2aa)
+
+
+def kernel_ee_triplet(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
+                      verbose=0):
+    """Lowest TRIPLET (Ms=0) EE-EOM-CCSD roots at a closed-shell reference.
+
+    t1, t2: converged RCCSD amplitudes; eris_u: a uccsd.UERIs built with
+    the same spatial orbitals for both spins (uccsd.make_eris_incore /
+    make_eris_df with mo_a == mo_b).  Vector layout: r1[i,a] +
+    raa[i,j,a,b] (pair-antisymmetric coords) + rab[i,J,a,B]
+    (sigma-antisymmetric coords).  Returns (conv, omegas, vectors)."""
+    t1u, t2u = embed_restricted(t1, t2)
+    nocc, nvir = t1.shape
+    eo = np.asarray(eris_u.mo_energy[0][:nocc])
+    ev = np.asarray(eris_u.mo_energy[0][nocc:])
+    eia = ev[None, :] - eo[:, None]
+    d2 = eia[:, None, :, None] + eia[None, :, None, :]
+    n1 = nocc * nvir
+    n2 = n1 * n1
+    diag = np.concatenate([eia.ravel(), d2.ravel(), d2.ravel()])
+
+    def p4(z):
+        """Idempotent antisymmetrizer over the (ij) and (ab) pairs."""
+        return 0.25 * (z - z.transpose(1, 0, 2, 3) - z.transpose(0, 1, 3, 2)
+                       + z.transpose(1, 0, 3, 2))
+
+    def proj(x):
+        r1 = jnp.asarray(x[:n1].reshape(nocc, nvir))
+        raa = p4(jnp.asarray(x[n1:n1 + n2].reshape(t2.shape)))
+        rab = jnp.asarray(x[n1 + n2:].reshape(t2.shape))
+        rab = 0.5 * (rab - rab.transpose(1, 0, 3, 2))
+        return r1, raa, rab
+
+    def matvec(x):
+        r1, raa, rab = proj(x)
+        s1, s2 = ee_sigma_u(t1u, t2u, eris_u, (r1, -r1), (raa, rab, -raa))
+        o1 = 0.5 * (s1[0] - s1[1])
+        oaa = p4(0.5 * (s2[0] - s2[2]))
+        oab = 0.5 * (s2[1] - s2[1].transpose(1, 0, 3, 2))
+        return np.concatenate([np.asarray(o1).ravel(),
+                               np.asarray(oaa).ravel(),
+                               np.asarray(oab).ravel()])
+
+    x0 = _guesses(diag, n1, nroots)
+    return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
+                    max_cycle=max_cycle, verbose=verbose, pick="follow")
+
+
+# ---------------------------------------------------------------------------
 # unrestricted IP / EA (same embedding, per ionized/attached spin channel)
 # ---------------------------------------------------------------------------
 
@@ -520,13 +587,26 @@ def kernel_sf(t1, t2, eris_so, nroots=2, tol=1e-6, max_cycle=100,
     t1, t2: converged SPIN-ORBITAL amplitudes; eris_so: a
     gccsd_slow.SpinOrbERIs (carries per-spin-orbital labels).
     Returns (conv, e_sf, vectors)."""
+    return kernel_ee_g(t1, t2, eris_so, nroots=nroots, delta_ms=-1,
+                       tol=tol, max_cycle=max_cycle, verbose=verbose,
+                       eps=eps)
+
+
+def kernel_ee_g(t1, t2, eris_so, nroots=2, delta_ms=0, tol=1e-6,
+                max_cycle=100, verbose=0, eps=1e-5):
+    """EE-EOM-GCCSD roots in the chosen Delta-Ms sector (reference
+    eom_gccsd.EOMEE role; delta_ms=0 covers singlets AND triplets,
+    +-1 are the spin-flip sectors).  Spin-orbital amplitudes/ERIs as in
+    kernel_sf; the sigma is the central-difference directional derivative
+    of the GCCSD residual (exact to O(eps^2) — the residual is quartic)."""
     nocc, nvir = t1.shape
     so = np.asarray(eris_so.spins[:nocc])
     sv = np.asarray(eris_so.spins[nocc:])
-    # Delta-Ms = -1 blocks: one net alpha->beta flip
-    m1 = (sv[None, :] - so[:, None]) == 1
+    # beta label = 1: Delta-Ms = -(net alpha->beta flips)
+    m1 = (sv[None, :] - so[:, None]) == -delta_ms
     m2 = ((sv[None, None, :, None] + sv[None, None, None, :]
-           - so[:, None, None, None] - so[None, :, None, None]) == 1)
+           - so[:, None, None, None] - so[None, :, None, None])
+          == -delta_ms)
     n1 = nocc * nvir
 
     f = eris_so.fock
@@ -559,11 +639,143 @@ def kernel_sf(t1, t2, eris_so, nroots=2, tol=1e-6, max_cycle=100,
     # project guesses into the antisymmetric sector so Davidson never
     # sees the (null) symmetric complement
     x0 = []
-    for v in _guesses(diag, n1, nroots):
+    for v in _guesses(diag, n1, nroots + 2):
         r1, r2 = proj(v)
         w = np.concatenate([r1.ravel(), r2.ravel()])
         nrm = np.linalg.norm(w)
         if nrm > 1e-8:
             x0.append(w / nrm)
-    return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose, pick="follow")
+    return _davidson_sorted(matvec, x0, diag, nroots, tol=tol,
+                            max_cycle=max_cycle, verbose=verbose)
+
+
+def _davidson_sorted(matvec, x0, diag, nroots, **kw):
+    """Root-following Davidson over len(x0) >= nroots guesses, returning
+    the lowest ``nroots`` eigenpairs by value.  Spin-orbital spaces carry
+    exact alpha/beta degeneracies that can make overlap-tracking land a
+    single requested root on the wrong member — solving for a margin of
+    extra roots and sorting is the robust fix."""
+    conv, e, vecs = davidson(matvec, x0, diag, nroots=len(x0),
+                             pick="follow", **kw)
+    order = np.argsort(np.asarray(e).real)[:nroots]
+    return ([conv[i] for i in order], np.asarray(e)[order],
+            [vecs[i] for i in order])
+
+
+# ---------------------------------------------------------------------------
+# G-spin IP / EA (reference eom_gccsd.EOMIP/EOMEA role): the same
+# zero-interaction-orbital embedding as the fast restricted solvers, in the
+# spin-orbital space, with the finite-difference GCCSD Jacobian.
+# ---------------------------------------------------------------------------
+
+def _augment_so(t1, t2, eris_so, which):
+    """SpinOrbERIs (+amplitudes) with one zero-interaction spin orbital
+    appended at the end of the virtual ('v') or occupied ('o') range."""
+    from pyscf_mpcc_tpu.cc.gccsd_slow import SpinOrbERIs
+    nocc = eris_so.nocc
+    nso = eris_so.nso
+    ints = np.zeros((nso + 1,) * 4)
+    fock = np.zeros((nso + 1, nso + 1))
+    if which == "v":
+        ins = nso          # new index at the very end
+        old = list(range(nso))
+    else:
+        ins = nocc         # new index right after the occupieds
+        old = list(range(nocc)) + list(range(nocc + 1, nso + 1))
+    ix = np.asarray(old)
+    ints[np.ix_(ix, ix, ix, ix)] = eris_so.ints
+    fock[np.ix_(ix, ix)] = eris_so.fock
+    spins = np.insert(np.asarray(eris_so.spins), ins if which == "o"
+                      else nso, 0)
+    er = SpinOrbERIs(ints, fock, nocc + (1 if which == "o" else 0),
+                     spins=spins)
+    if which == "v":
+        t1p = np.pad(np.asarray(t1), [(0, 0), (0, 1)])
+        t2p = np.pad(np.asarray(t2), [(0, 0), (0, 0), (0, 1), (0, 1)])
+    else:
+        t1p = np.pad(np.asarray(t1), [(0, 1), (0, 0)])
+        t2p = np.pad(np.asarray(t2), [(0, 1), (0, 1), (0, 0), (0, 0)])
+    return t1p, t2p, er
+
+
+def kernel_ip_g(t1, t2, eris_so, nroots=2, tol=1e-6, max_cycle=100,
+                verbose=0, eps=1e-5):
+    """IP-EOM-GCCSD: r1[i] + r2[i,j,a] ((ij)-antisymmetric 2h1p), all spin
+    sectors together.  Returns (conv, e_ip (positive), vectors)."""
+    nocc, nvir = t1.shape
+    t1p, t2p, erp = _augment_so(t1, t2, eris_so, "v")
+    X = nvir
+    eo = np.diag(np.asarray(eris_so.fock))[:nocc]
+    ev = np.diag(np.asarray(eris_so.fock))[nocc:]
+    diag = np.concatenate([
+        -eo, (-eo[:, None, None] - eo[None, :, None]
+              + ev[None, None, :]).ravel()])
+    n1 = nocc
+
+    def proj(x):
+        r1 = x[:n1]
+        r2 = x[n1:].reshape(nocc, nocc, nvir)
+        return r1, 0.5 * (r2 - r2.transpose(1, 0, 2))
+
+    def embed(r1, r2):
+        z1 = np.zeros_like(t1p)
+        z1[:, X] = r1
+        z2 = np.zeros_like(t2p)
+        z2[:, :, :nvir, X] = r2
+        z2 = z2 - z2.transpose(0, 1, 3, 2)
+        return z1, z2
+
+    def matvec(x):
+        r1, r2 = proj(x)
+        z1, z2 = embed(r1, r2)
+        p1, q1 = _gccsd_residual(t1p + eps * z1, t2p + eps * z2, erp)
+        p2, q2 = _gccsd_residual(t1p - eps * z1, t2p - eps * z2, erp)
+        s1 = (p1 - p2)[:, X] / (2 * eps)
+        s2 = (q1 - q2)[:, :, :nvir, X] / (2 * eps)
+        s2 = 0.5 * (s2 - s2.transpose(1, 0, 2))
+        return np.concatenate([s1.ravel(), s2.ravel()])
+
+    x0 = _guesses(diag, n1, nroots + 2)
+    return _davidson_sorted(matvec, x0, diag, nroots, tol=tol,
+                            max_cycle=max_cycle, verbose=verbose)
+
+
+def kernel_ea_g(t1, t2, eris_so, nroots=2, tol=1e-6, max_cycle=100,
+                verbose=0, eps=1e-5):
+    """EA-EOM-GCCSD: r1[a] + r2[j,a,b] ((ab)-antisymmetric 2p1h)."""
+    nocc, nvir = t1.shape
+    t1p, t2p, erp = _augment_so(t1, t2, eris_so, "o")
+    Y = nocc
+    eo = np.diag(np.asarray(eris_so.fock))[:nocc]
+    ev = np.diag(np.asarray(eris_so.fock))[nocc:]
+    diag = np.concatenate([
+        ev, (-eo[:, None, None] + ev[None, :, None]
+             + ev[None, None, :]).ravel()])
+    n1 = nvir
+
+    def proj(x):
+        r1 = x[:n1]
+        r2 = x[n1:].reshape(nocc, nvir, nvir)
+        return r1, 0.5 * (r2 - r2.transpose(0, 2, 1))
+
+    def embed(r1, r2):
+        z1 = np.zeros_like(t1p)
+        z1[Y, :] = r1
+        z2 = np.zeros_like(t2p)
+        z2[Y, :nocc, :, :] = r2
+        z2 = z2 - z2.transpose(1, 0, 2, 3)
+        return z1, z2
+
+    def matvec(x):
+        r1, r2 = proj(x)
+        z1, z2 = embed(r1, r2)
+        p1, q1 = _gccsd_residual(t1p + eps * z1, t2p + eps * z2, erp)
+        p2, q2 = _gccsd_residual(t1p - eps * z1, t2p - eps * z2, erp)
+        s1 = (p1 - p2)[Y, :] / (2 * eps)
+        s2 = (q1 - q2)[Y, :nocc, :, :] / (2 * eps)
+        s2 = 0.5 * (s2 - s2.transpose(0, 2, 1))
+        return np.concatenate([s1.ravel(), s2.ravel()])
+
+    x0 = _guesses(diag, n1, nroots + 2)
+    return _davidson_sorted(matvec, x0, diag, nroots, tol=tol,
+                            max_cycle=max_cycle, verbose=verbose)
