@@ -74,6 +74,30 @@ def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None):
     return nvir
 
 
+def ccsd_working_set_bytes(nocc, nvir, naux, ntile=1, dtype="float32",
+                           ndev=1):
+    """Model of the DF-CCSD update working set (bytes) on one device.
+
+    ndev=1: the single-device footprint — persistent DF factors + the
+    four-index ERI blocks + amplitudes (t, t_new, DIIS extrapolant) + the
+    ladder tile block.  ndev>1: the per-device footprint under the
+    parallel.mesh layout (Lvv/Lov/Loo sharded over naux, t2-likes sharded
+    over the first occupied axis, small four-index blocks replicated).
+    Used by the capacity tests to prove a problem exceeds one device's
+    budget while its sharded layout fits (reference envelope analog:
+    FEATURES:74 out-of-core sizing)."""
+    isz = _itemsize(dtype)
+    o2v2 = nocc * nocc * nvir * nvir
+    df = (naux * nvir * nvir + naux * nocc * nvir
+          + naux * nocc * nocc) * isz          # Lvv + Lov + Loo
+    eris4 = 4 * o2v2 * isz                     # ovov + oovv + ovvo + ovoo~
+    t2likes = 3 * o2v2 * isz                   # t2, t2new, tau
+    tile = (nvir // ntile) * nvir ** 3 * isz * 2
+    if ndev == 1:
+        return df + eris4 + t2likes + tile
+    return df // ndev + eris4 + t2likes // ndev + tile
+
+
 def plan_triples_tile(nocc, nvir, naux, dtype="float32", budget=None,
                       max_tile=8):
     """Tile edge for the fused CCSD(T) engine (cc/ccsd_t.kernel).

@@ -1,0 +1,93 @@
+"""Beyond-one-device capacity: a CCSD update whose working set exceeds a
+single device's governor budget runs sharded over the mesh and matches the
+unsharded result.
+
+The reference reaches its ~100 occ / 1500 vir envelope by HDF5 out-of-core
+blocking (FEATURES:74); this framework's counterpart is the GSPMD layout
+of parallel.mesh (Lvv/Lov/Loo sharded over naux, t2 row-sharded).  The
+proof here has three legs:
+  1. the governor model says the single-device footprint EXCEEDS the
+     budget while the per-device sharded footprint fits;
+  2. the actually-materialized per-device shard bytes of the dominant
+     tensors are ~1/ndev of the total (real sharding, not annotation);
+  3. the sharded update reproduces the unsharded update bit-for-bit-level.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as ge
+from pyscf_mpcc_tpu.cc import rccsd
+from pyscf_mpcc_tpu.lib import memory as mem
+from pyscf_mpcc_tpu.parallel import mesh as pmesh
+
+# aux-heavy synthetic shape: Lvv dominates (naux*nvir^2), exactly the
+# regime where aux sharding buys capacity
+NOCC, NVIR, NAUX, NTILE = 8, 48, 3072, 8
+BUDGET = 32 * 1024 * 1024       # 32 MiB per-device budget (artificial)
+
+
+def test_governor_model_proves_capacity_gap():
+    full = mem.ccsd_working_set_bytes(NOCC, NVIR, NAUX, ntile=NTILE,
+                                      ndev=1)
+    per_dev = mem.ccsd_working_set_bytes(NOCC, NVIR, NAUX, ntile=NTILE,
+                                         ndev=8)
+    assert full > BUDGET, f"shape too small to prove anything: {full}"
+    assert per_dev < BUDGET, f"sharded footprint must fit: {per_dev}"
+
+
+def test_sharded_update_matches_unsharded_beyond_budget():
+    eris = ge._synthetic_eris(nocc=NOCC, nvir=NVIR, naux=NAUX,
+                              dtype=jnp.float64, build_ovvv=False)
+    _, t1, t2 = rccsd.init_amps(eris)
+    ref1, ref2 = rccsd.update_amps(t1, t2, eris, ntile=NTILE)
+
+    m = pmesh.make_mesh(8)
+    er_s = pmesh.shard_eris(eris, m)
+    t1s, t2s = pmesh.shard_amps(t1, t2, m)
+
+    # leg 2: the dominant tensor is REALLY split — one shard holds 1/8
+    shard_nbytes = er_s.Lvv.addressable_shards[0].data.nbytes
+    assert shard_nbytes * 8 == er_s.Lvv.nbytes
+    # per-device bytes of the big sharded tensors fit the budget where the
+    # unsharded ones alone would not
+    big_total = er_s.Lvv.nbytes + er_s.Lov.nbytes + er_s.Loo.nbytes
+    big_per_dev = big_total // 8
+    assert big_total > BUDGET // 2
+    assert big_per_dev < BUDGET
+
+    fn = pmesh.sharded_update_amps(m, ntile=NTILE)
+    out1, out2 = fn(t1s, t2s, er_s)
+    # leg 3: identical physics (relative: the synthetic spectrum is
+    # near-degenerate, so raw amplitudes are large)
+    s1 = float(jnp.abs(ref1).max())
+    s2 = float(jnp.abs(ref2).max())
+    assert float(jnp.abs(out1 - ref1).max()) / s1 < 1e-13
+    assert float(jnp.abs(out2 - ref2).max()) / s2 < 1e-13
+    # the t2 output keeps its row sharding (no silent replication)
+    assert len(out2.addressable_shards) == 8
+    assert out2.addressable_shards[0].data.shape[0] == NOCC // 8
+
+
+def test_sharded_solve_iterates():
+    """Several Jacobi sweeps with the sharded update track the unsharded
+    iteration exactly (per-sweep energies, relative 1e-12)."""
+    eris = ge._synthetic_eris(nocc=NOCC, nvir=NVIR, naux=NAUX,
+                              dtype=jnp.float64, build_ovvv=False)
+    _, t1r, t2r = rccsd.init_amps(eris)
+    m = pmesh.make_mesh(8)
+    er_s = pmesh.shard_eris(eris, m)
+    fn = pmesh.sharded_update_amps(m, ntile=NTILE)
+    t1s, t2s = pmesh.shard_amps(t1r, t2r, m)
+    for it in range(3):
+        # damped sweeps: the synthetic spectrum is near-degenerate and
+        # undamped Jacobi diverges — damping keeps the comparison finite
+        a1, a2 = rccsd.update_amps(t1r, t2r, eris, ntile=NTILE)
+        t1r, t2r = 0.5 * (a1 + t1r), 0.5 * (a2 + t2r)
+        b1, b2 = fn(t1s, t2s, er_s)
+        t1s, t2s = 0.5 * (b1 + t1s), 0.5 * (b2 + t2s)
+        e_r = float(rccsd.energy(t1r, t2r, eris))
+        e_s = float(rccsd.energy(t1s, t2s, er_s))
+        assert np.isfinite(e_r)
+        assert abs(e_s - e_r) / max(abs(e_r), 1.0) < 1e-12
