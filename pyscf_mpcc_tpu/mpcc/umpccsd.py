@@ -190,6 +190,120 @@ def _masks_to_spin_orbital(masks, nocc, nvir):
     return M1, M2
 
 
+def kernel_pert_df(eris, B, h, act_hole, act_particle, idx_s, idx_d,
+                   model="ccsdt-3", max_cycle=100, conv_tol=1e-9,
+                   conv_tol_normt=1e-7, diis_space=6, verbose=0,
+                   t1=None, t2=None, level_shift=0.0):
+    """UMPCC with coupled active-space T3 at DF/production scale.
+
+    The PRODUCTION counterpart of kernel_pert_triples: the spin-traced
+    UCCSD engine (cc/uccsd.update_amps) supplies R1/R2, the device-
+    resident DF T3 engine (cc/ccsdt_act) supplies the active-block T3
+    sweep and its (R1, R2) feedback — t3 is never materialized outside
+    the active block and the integrals enter only as dressed 3-center
+    factors.  Fork counterpart: umpccsd.py:2183-2197 pert_triples +
+    umpcc_t_slow.iterative_update_amps_t3.
+
+    eris: uccsd.UERIs at the same orbitals as B/h; B: per-spin FULL-MO
+    3-center factors (naux, nmo, nmo); h: per-spin one-electron MO
+    integrals.  act_hole/act_particle: per-spin active lists; idx_s/idx_d
+    frozen-block lists as in kernel().  t3 carries its own DIIS history
+    (reference cc/ccsd.py:79-87,1278 run_diis_t3).
+    Returns (converged, e_corr, t1, t2, t3_canonical)."""
+    from pyscf_mpcc_tpu.cc import ccsdt_act
+    from pyscf_mpcc_tpu.lib.diis import DIIS
+    from pyscf_mpcc_tpu.lib import logger as lg
+    log = lg.Logger(verbose=verbose)
+    na, nb = uccsd._nocc(eris)
+    va = eris.ovov.shape[1]
+    vb = eris.OVOV.shape[1]
+    if idx_s and not isinstance(idx_s[0], (list, tuple, np.ndarray)):
+        idx_s = (idx_s, idx_s)
+    if idx_d and not isinstance(idx_d[0], (list, tuple, np.ndarray)):
+        idx_d = (idx_d, idx_d, idx_d)
+    if not idx_s:
+        idx_s = ([], [])
+    if not idx_d:
+        idx_d = ([], [], [])
+    masks = frozen_masks_u(act_hole, act_particle, (na, nb), (va, vb),
+                           idx_s, idx_d)
+    dd = ccsdt_act.DressedDF((na, nb), (na + va, nb + vb),
+                             act_hole, act_particle)
+    ea, eb = eris.mo_energy
+    d1a = ea[:na, None] - ea[None, na:] - level_shift
+    d1b = eb[:nb, None] - eb[None, nb:] - level_shift
+    d2aa = d1a[:, None, :, None] + d1a[None, :, None, :]
+    d2ab = d1a[:, None, :, None] + d1b[None, :, None, :]
+    d2bb = d1b[:, None, :, None] + d1b[None, :, None, :]
+    d3 = ccsdt_act.d3_blocks(dd, (ea, eb))
+
+    emp2, t1_0, t2_0 = uccsd.init_amps(eris)
+    if t1 is None:
+        t1 = t1_0
+    if t2 is None:
+        t2 = t2_0
+    shapes = [x.shape for x in (*t1, *t2)]
+    canon = None
+    diis = DIIS(space=diis_space)
+    diis3 = DIIS(space=diis_space)
+    e_last = float(uccsd.energy(t1, t2, eris))
+    converged = False
+    e = e_last
+    for it in range(max_cycle):
+        arrs = ccsdt_act.dress_df(B, h, t1, (na, nb))
+        t2st = ccsdt_act.t2_st(tuple(jnp.asarray(x) for x in t2))
+        t3 = (ccsdt_act.expand_t3(canon) if canon is not None else None)
+        r3 = ccsdt_act.reduce_t3(ccsdt_act.t3_residual_act(
+            t2st, t3, dd, arrs, model=model))
+        canon_new = {k: (canon[k] if canon is not None else 0.0)
+                     + r3[k] / d3[k] for k in r3}
+        dn3 = (sum(float(jnp.linalg.norm(canon_new[k] - canon[k]))
+                   for k in canon_new) if canon is not None
+               else sum(float(jnp.linalg.norm(v)) for v in
+                        canon_new.values()))
+        keys = sorted(canon_new.keys())
+        vec3 = np.concatenate([np.asarray(canon_new[k]).ravel()
+                               for k in keys])
+        vec3 = diis3.update(vec3)
+        canon = {}
+        p = 0
+        for k in keys:
+            n = int(np.prod(canon_new[k].shape))
+            canon[k] = jnp.asarray(vec3[p:p + n].reshape(
+                canon_new[k].shape))
+            p += n
+
+        (f1a, f1b), (f2aa, f2ab, f2bb) = ccsdt_act.feedback_act(
+            ccsdt_act.expand_t3(canon), dd, arrs)
+        (u1a, u1b), (u2aa, u2ab, u2bb) = uccsd.update_amps(
+            t1, t2, eris, level_shift)
+        u1a = u1a + f1a / d1a
+        u1b = u1b + f1b / d1b
+        u2aa = u2aa + f2aa / d2aa
+        u2ab = u2ab + f2ab / d2ab
+        u2bb = u2bb + f2bb / d2bb
+        m1a, m1b, m2aa, m2ab, m2bb = masks
+        u1a = jnp.where(m1a, t1[0], u1a)
+        u1b = jnp.where(m1b, t1[1], u1b)
+        u2aa = jnp.where(m2aa, t2[0], u2aa)
+        u2ab = jnp.where(m2ab, t2[1], u2ab)
+        u2bb = jnp.where(m2bb, t2[2], u2bb)
+        t1new, t2new = (u1a, u1b), (u2aa, u2ab, u2bb)
+        normt = sum(float(jnp.linalg.norm(a - b))
+                    for a, b in zip((*t1new, *t2new), (*t1, *t2))) + dn3
+        vec = np.asarray(uccsd.amplitudes_to_vector(t1new, t2new))
+        vec = diis.update(vec)
+        t1, t2 = uccsd.vector_to_amplitudes(jnp.asarray(vec), shapes)
+        e = float(uccsd.energy(t1, t2, eris))
+        log.info("cycle %2d  E_corr(UMPCC+T3/df) = %.14f  dE = %10.3e  "
+                 "|dt| = %9.3e", it, e, e - e_last, normt)
+        if abs(e - e_last) < conv_tol and normt < conv_tol_normt:
+            converged = True
+            break
+        e_last = e
+    return converged, e, t1, t2, canon
+
+
 def kernel_pert_triples(mf, act_hole, act_particle, idx_s, idx_d,
                         model="ccsdt-3", max_cycle=100, conv_tol=1e-9,
                         conv_tol_normt=1e-7, verbose=0, t1=None, t2=None):

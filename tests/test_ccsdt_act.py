@@ -188,3 +188,31 @@ def test_solver_and_feedback_match_oracle_h2o():
     for got, want in [(r1a, w1a), (r1b, w1b), (r2aa, w2aa),
                       (r2ab, w2ab), (r2bb, w2bb)]:
         assert np.abs(np.asarray(got) - want).max() < 1e-9
+
+
+def test_kernel_pert_df_matches_oracle():
+    """The production coupled driver (spin-traced UCCSD + device T3)
+    converges to the oracle pert_triples fixed point."""
+    from pyscf_mpcc_tpu.cc import uccsd
+    from pyscf_mpcc_tpu.mpcc import umpccsd
+    s = _setup("h2o")
+    mf, d = s["mf"], s["dims"]
+    ah, ap = s["act_hole"], s["act_particle"]
+    e_o, T1, T2, T3, conv_o = umpccsd.kernel_pert_triples(
+        mf, ah, ap, [], [], model="ccsdt-3", conv_tol=1e-11,
+        conv_tol_normt=1e-9)
+    assert conv_o
+    eri_ao = gto.intor_eri(mf.mol)
+    f = mf.get_fock(mf.make_rdm1())
+    na, nb = mf.mol.nelec
+    mo = np.asarray(mf.mo_coeff)
+    ue = uccsd.make_eris_incore(eri_ao, mo, mo, f, f, na, nb)
+    conv, e, t1, t2, canon = umpccsd.kernel_pert_df(
+        ue, s["B"], s["h"], ah, ap, [], [], model="ccsdt-3",
+        conv_tol=1e-11, conv_tol_normt=1e-9)
+    assert conv
+    assert abs(e - e_o) < 1e-8
+    # converged active t3 blocks agree with the oracle's
+    for sig in ccsdt_act.T3_CANONICAL:
+        want = T3[_sig_ix(sig, d, ah, ap)]
+        assert np.abs(np.asarray(canon[sig]) - want).max() < 1e-7, sig
