@@ -165,7 +165,8 @@ def _trans(eri, mos):
                      mos[2], mos[3], optimize=True)
 
 
-def energy_f12(mf, auxmol, zeta=1.0, nfit=6, frozen=0):
+def energy_f12(mf, auxmol, zeta=1.0, nfit=6, frozen=0,
+               return_matrices=False):
     """MP2-F12/SP correction (add to the conventional MP2 energy).
 
     The V matrix follows the reference energy_f12 (:71-186): exact
@@ -266,4 +267,10 @@ def energy_f12(mf, auxmol, zeta=1.0, nfit=6, frozen=0):
     tmp = np.einsum("mknl,kilj->minj", tminj, X, optimize=True)
     e_f12 -= np.einsum("mn,minj,minj", e_mn, tmp, tminj) * 2
     e_f12 += np.einsum("mn,minj,nimj", e_mn, tmp, tminj)
+    if return_matrices:
+        # occupied-index matrices are basis-independent within the
+        # extended span -- the contract tests compare them element-wise
+        # against an independent (Loewdin-orthonormalized, explicit-
+        # projector) pair-function construction
+        return float(e_f12), dict(V=V, B=B, X=X, t=tminj, e_mn=e_mn)
     return float(e_f12)

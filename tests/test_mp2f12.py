@@ -142,3 +142,79 @@ def test_h2o_frozen_core_f12_beats_tz():
     # fc-MP2: DZ -0.2017, TZ -0.2615, CBS ~ -0.300; F12/DZ must recover
     # more correlation than TZ without absurd overshoot
     assert -0.32 < -0.2017 + ef12 < -0.2615
+
+def test_be_multipair_b_x_v_match_bruteforce():
+    """Multi-pair contract: on Be (two occupied orbitals, three distinct
+    geminal pairs incl. the off-diagonal (1s,2s) coupling) the V/B/X
+    occupied-index matrices from energy_f12's mixed MO+CABS construction
+    must match an INDEPENDENT one: Loewdin orthonormalization of the
+    full merged basis + the SP projector Q12 = 1 - O1O2 - o1(1-O2) -
+    (1-O1)o2 applied as explicit projection matrices.  The matrices are
+    basis-independent within the extended span, so agreement is exact
+    (fork capability: mp2f12_slow multi-pair B assembly, here validated
+    where upstream's is untested)."""
+    import scipy.linalg
+    zeta = 1.0
+    mol = gto.M(atom="Be 0 0 0", basis="cc-pvdz", spin=0)
+    mf = RHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    cab = []
+    for l, n in ((0, 5), (1, 4), (2, 3)):
+        for k in range(n):
+            cab.append([l, [0.12 * 2.6 ** k, 1.0]])
+    aux = gto.M(atom="Be 0 0 0", basis={"Be": cab}, spin=0)
+    nocc, nao = mol.nelectron // 2, mol.nao
+    mo = np.asarray(mf.mo_coeff)
+
+    _, mats = mp2f12.energy_f12(mf, aux, zeta=zeta, return_matrices=True)
+
+    big, perm = mp2f12.conc_mol(mol, aux)
+    s_all, t_all = gto.intor_ovlp_kin(big)
+    s = s_all[np.ix_(perm, perm)]
+    tb = t_all[np.ix_(perm, perm)]
+    vb = gto.intor_nuc(big)[np.ix_(perm, perm)]
+    w_s, v_s = scipy.linalg.eigh(s)
+    # well-conditioned merged basis: both constructions keep the full
+    # span, so they must agree exactly (no lindep-cut ambiguity)
+    assert w_s.min() > 1e-7
+    C = v_s / np.sqrt(w_s)
+    nbig = C.shape[1]
+
+    mo_big = np.vstack([mo, np.zeros((s.shape[0] - nao, mo.shape[1]))])
+    x = C.T @ s @ mo_big
+    O = x @ x.T
+    o = x[:, :nocc] @ x[:, :nocc].T
+
+    v_ao = native.eri4c(big)[np.ix_(perm, perm, perm, perm)]
+    dm = 2.0 * mo[:, :nocc] @ mo[:, :nocc].T
+    F_ao = tb + vb
+    F_ao = F_ao + np.einsum("pqij,ji->pq", v_ao[:, :, :nao, :nao], dm,
+                            optimize=True)
+    F_ao = F_ao - 0.5 * np.einsum("pijq,ij->pq", v_ao[:, :nao, :nao, :],
+                                  dm, optimize=True)
+    F = C.T @ F_ao @ C
+
+    R_ao = mp2f12.stg_eri(big, zeta)[np.ix_(perm, perm, perm, perm)]
+    ci = mo_big[:, :nocc]
+    G = np.einsum("pqrs,pA,qi,rB,sj->AiBj", R_ao, C, ci, C, ci,
+                  optimize=True)
+    g = np.einsum("pqrs,pA,qi,rB,sj->AiBj", v_ao, C, ci, C, ci,
+                  optimize=True)
+    I = np.eye(nbig)
+    proj = (np.einsum("AC,BD,CiDj->AiBj", O, O, G, optimize=True)
+            + np.einsum("AC,BD,CiDj->AiBj", o, I - O, G, optimize=True)
+            + np.einsum("AC,BD,CiDj->AiBj", I - O, o, G, optimize=True))
+    W = G - proj
+
+    Y = mp2f12._trans(mp2f12.stg_eri(mol, zeta, coulomb=True),
+                      [mo[:, :nocc]] * 4)
+    V_brute = Y - np.einsum("AmBn,AiBj->minj", proj, g, optimize=True)
+    X_brute = np.einsum("AmBn,AiBj->minj", W, W, optimize=True)
+    FW = (np.einsum("AC,CiBj->AiBj", F, W, optimize=True)
+          + np.einsum("BC,AiCj->AiBj", F, W, optimize=True))
+    B_brute = np.einsum("AmBn,AiBj->minj", W, FW, optimize=True)
+
+    assert np.abs(np.asarray(mats["V"]) - V_brute).max() < 1e-10
+    assert np.abs(np.asarray(mats["X"]) - X_brute).max() < 1e-10
+    assert np.abs(np.asarray(mats["B"]) - B_brute).max() < 1e-10
