@@ -14,6 +14,15 @@ from pyscf_mpcc_tpu.cc import ccsdt_act, ccsdt_env, gccsd_slow, gccsdt_slow
 from tests.test_ccsdt_act import _setup, _split1, _split2
 
 
+def _so_acts(d, ah, ap):
+    """Per-spin active tuples -> the oracle's flat spin-orbital lists
+    (occupied order [occ_a, occ_b], virtual order [vir_a, vir_b])."""
+    na, va = d["na"], d["va"]
+    ah_so = list(np.asarray(ah[0], int)) + [na + int(i) for i in ah[1]]
+    ap_so = list(np.asarray(ap[0], int)) + [va + int(i) for i in ap[1]]
+    return ah_so, ap_so
+
+
 def _full_sig_ix(sig, d):
     """np.ix_ selecting a canonical-signature FULL-range block out of a
     spin-orbital 6-index array."""
@@ -39,8 +48,9 @@ def test_env_solver_matches_oracle(which, model):
                                               conv_tol_normt=1e-9)
     assert conv
 
+    ah_so, ap_so = _so_acts(d, ah, ap)
     e_o, t3_o, conv_o = gccsdt_slow.env_triples_kernel(
-        so, h_so, t1_so, t2_so, ah, ap, model=model, max_cycle=80,
+        so, h_so, t1_so, t2_so, ah_so, ap_so, model=model, max_cycle=80,
         conv_tol=1e-10)
     assert conv_o
 
@@ -69,9 +79,10 @@ def test_env_energy_inactive_amplitude_convention():
     e, t1_so, t2_so, conv = gccsd_slow.kernel(so, conv_tol=1e-11,
                                               conv_tol_normt=1e-9)
     assert conv
+    ah_so, ap_so = _so_acts(d, ah, ap)
     e_o, t3_o, conv_o = gccsdt_slow.env_triples_kernel(
-        so, h_so, t1_so, t2_so, ah, ap, model="ccsdt-1", max_cycle=80,
-        conv_tol=1e-10, env_amplitudes=True)
+        so, h_so, t1_so, t2_so, ah_so, ap_so, model="ccsdt-1",
+        max_cycle=80, conv_tol=1e-10, env_amplitudes=True)
     assert conv_o
     t1 = _split1(t1_so, d)
     t2 = _split2(t2_so, d)
