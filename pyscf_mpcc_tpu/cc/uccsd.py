@@ -320,10 +320,16 @@ def _high_virtual_materialized(eris, T1, T2, tau, g_oovv):
 
 def _ladder_tiled(tau, L1, L2, ntile):
     """sum_{L,e,f} L1[L,a,e] L2[L,b,f] tau[i,j,e,f] -> [i,j,a,b], tiled
-    over the first virtual axis so (v,v,v,v) never materializes whole."""
+    over the first virtual axis so (v,v,v,v) never materializes whole.
+    The tiled axis is zero-padded up to ntile * ceil(nv1/ntile): padded
+    rows produce zero output rows, sliced off at the end — any
+    (nvir, ntile) combination is valid."""
     nv1 = L1.shape[1]
-    ta = max(1, nv1 // ntile)
-    ntile = nv1 // ta
+    ntile = max(1, min(int(ntile), nv1))
+    ta = -(-nv1 // ntile)
+    pad = ntile * ta - nv1
+    if pad:
+        L1 = jnp.pad(L1, ((0, 0), (0, pad), (0, 0)))
     L1t = L1.reshape(L1.shape[0], ntile, ta, L1.shape[2]).transpose(1, 0, 2, 3)
 
     def tile_fn(l1):
@@ -332,7 +338,9 @@ def _ladder_tiled(tau, L1, L2, ntile):
 
     out = jax.lax.map(tile_fn, L1t)
     no1, no2 = tau.shape[0], tau.shape[1]
-    return out.transpose(1, 2, 0, 3, 4).reshape(no1, no2, nv1, L2.shape[1])
+    out = out.transpose(1, 2, 0, 3, 4).reshape(no1, no2, ntile * ta,
+                                               L2.shape[1])
+    return out[:, :, :nv1, :]
 
 
 def _high_virtual_df(eris, t1, T1, T2, tau, g_oovv, g_oovv_dir, ntile):

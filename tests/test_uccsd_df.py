@@ -54,3 +54,20 @@ def test_df_update_matches_materialized(case):
         for x, y in zip((*a1, *a2), (*b1, *b2)):
             assert float(jnp.abs(x - y).max()) < 1e-12
         t1, t2 = a1, a2
+
+
+def test_ladder_tiled_non_divisor_nvir():
+    """Regression: the DF ladder tile must accept nvir not divisible by
+    ntile (OH(H2O)3/cc-pVDZ hit nvir=71 with ntile=4)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pyscf_mpcc_tpu.cc.uccsd import _ladder_tiled
+    rng = np.random.default_rng(3)
+    naux, nv1, nv2, no = 9, 7, 5, 3
+    L1 = jnp.asarray(rng.standard_normal((naux, nv1, nv1)))
+    L2 = jnp.asarray(rng.standard_normal((naux, nv2, nv1)))
+    tau = jnp.asarray(rng.standard_normal((no, no, nv1, nv1)))
+    want = np.einsum("Lae,Lbf,ijef->ijab", L1, L2, tau, optimize=True)
+    for ntile in (1, 2, 3, 4, 7, 11):
+        got = _ladder_tiled(tau, L1, L2, ntile)
+        assert np.abs(np.asarray(got) - want).max() < 1e-10, ntile
