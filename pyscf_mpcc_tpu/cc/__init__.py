@@ -1,4 +1,6 @@
 from pyscf_mpcc_tpu.cc.driver import CCSD, RCCSDDriver, UCCSDDriver
-from pyscf_mpcc_tpu.cc import (ccsd_t, eris, gccsd_slow, gccsd_t_slow,
-                               lambda_ad, rccsd, uccsd)
+from pyscf_mpcc_tpu.cc import (ccsd_t, ccsdt_act, ccsdt_env, eris,
+                               gccsd_slow, gccsd_t_slow, lambda_ad,
+                               rccsd, uccsd)
+from pyscf_mpcc_tpu.cc.gccsd import GCCSD
 from pyscf_mpcc_tpu.cc.momgfccsd import MomGFCCSD
