@@ -142,6 +142,10 @@ class SCFBase(StreamObject):
     conv_tol_grad = None
     max_cycle = 100
     diis_space = 8
+    # 'cdiis' (commutator, default), 'ediis', 'adiis', or the
+    # production hybrids 'ediis+cdiis' / 'adiis+cdiis' (energy-DIIS
+    # while |FDS-SDF| > 1e-2, CDIIS after) — reference scf/diis.py roles
+    diis_scheme = "cdiis"
     init_guess_scheme = "atom"
     # virtual-space level shift (Hartree) applied to the DIIS-extrapolated
     # Fock before diagonalization (reference scf/hf.py level_shift):
@@ -286,6 +290,8 @@ class RHF(SCFBase):
         else:
             fock = self.get_fock(dm0)
         diis = DIIS(space=self.diis_space)
+        from pyscf_mpcc_tpu.scf.diis import make_scheme
+        ediis, hybrid = make_scheme(self.diis_scheme, self.diis_space)
         e_last = 0.0
         conv_tol_grad = self.conv_tol_grad or np.sqrt(self.conv_tol)
         for cycle in range(self.max_cycle):
@@ -293,11 +299,18 @@ class RHF(SCFBase):
             mo_occ = self.get_occ(mo_energy)
             dm = self.make_rdm1(mo_coeff, mo_occ)
             fock = self.get_fock(dm)
+            e = self.energy_elec(dm, fock) + self.e_nuc
             # DIIS on the commutator FDS - SDF (orthonormal-basis error)
             err = fock @ dm @ S - S @ dm @ fock
-            fock = diis.update(fock, xerr=err).reshape(S.shape)
+            gnorm0 = np.linalg.norm(err)
+            if ediis is not None:
+                ediis.push(e, dm, fock)
+            fock_cd = diis.update(fock, xerr=err).reshape(S.shape)
+            if ediis is not None and (not hybrid or gnorm0 > 1e-2):
+                fock = ediis.extrapolate()
+            else:
+                fock = fock_cd
             fock = self._shift_fock(fock, dm * 0.5)
-            e = self.energy_elec(dm, self.get_fock(dm)) + self.e_nuc
             gnorm = np.linalg.norm(err)
             self.log.debug("SCF cycle %d  E = %.14f  dE = %.3e  |FDS-SDF| = %.3e",
                            cycle, e, e - e_last, gnorm)
@@ -354,6 +367,8 @@ class UHF(SCFBase):
         else:
             dm = np.asarray(dm0)
         diis = DIIS(space=self.diis_space)
+        from pyscf_mpcc_tpu.scf.diis import make_scheme
+        ediis, hybrid = make_scheme(self.diis_scheme, self.diis_space)
         e_last = 0.0
         conv_tol_grad = self.conv_tol_grad or np.sqrt(self.conv_tol)
         for cycle in range(self.max_cycle):
@@ -361,7 +376,14 @@ class UHF(SCFBase):
             err = np.concatenate([
                 (fock[0] @ dm[0] @ S - S @ dm[0] @ fock[0]).ravel(),
                 (fock[1] @ dm[1] @ S - S @ dm[1] @ fock[1]).ravel()])
-            fock = diis.update(fock, xerr=err).reshape(2, *S.shape)
+            if ediis is not None:
+                ediis.push(self.energy_elec(dm, fock), dm, fock)
+            fock_cd = diis.update(fock, xerr=err).reshape(2, *S.shape)
+            if ediis is not None and (not hybrid
+                                      or np.linalg.norm(err) > 1e-2):
+                fock = ediis.extrapolate()
+            else:
+                fock = fock_cd
             fock = np.array([self._shift_fock(fock[0], dm[0]),
                              self._shift_fock(fock[1], dm[1])])
             ea, ca = self.eig(fock[0], S)

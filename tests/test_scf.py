@@ -67,3 +67,35 @@ def test_rohf_roothaan_mo_energy_blocks():
     # pinned SOMO orbital energy (doubly degenerate pi*), verified against
     # the reference pyscf/scf/rohf.py get_roothaan_fock construction
     assert np.allclose(e[nb:na], -0.07158887, atol=2e-6)
+
+
+def test_ediis_adiis_schemes_reach_cdiis_energy():
+    """EDIIS/ADIIS (+hybrids) converge H2O to the CDIIS fixed point
+    (reference scf/diis.py EDIIS/ADIIS roles)."""
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.scf import RHF, UHF
+    mol = gto.M(atom=[[8, (0, 0, 0)], [1, (0, -0.757, 0.587)],
+                      [1, (0, 0.757, 0.587)]], basis="sto-3g")
+    mf0 = RHF(mol)
+    mf0.conv_tol = 1e-11
+    mf0.kernel()
+    assert mf0.converged
+    for scheme in ("ediis", "adiis", "ediis+cdiis", "adiis+cdiis"):
+        mf = RHF(mol)
+        mf.conv_tol = 1e-11
+        mf.diis_scheme = scheme
+        mf.max_cycle = 200
+        mf.kernel()
+        assert mf.converged, scheme
+        assert abs(mf.e_tot - mf0.e_tot) < 1e-8, scheme
+    molu = gto.M(atom="O 0 0 0; O 0 0 1.21", basis="sto-3g", spin=2)
+    mu0 = UHF(molu)
+    mu0.conv_tol = 1e-11
+    mu0.kernel()
+    mu = UHF(molu)
+    mu.conv_tol = 1e-11
+    mu.diis_scheme = "adiis+cdiis"
+    mu.max_cycle = 200
+    mu.kernel()
+    assert mu.converged
+    assert abs(mu.e_tot - mu0.e_tot) < 1e-8
