@@ -91,9 +91,9 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # axis (nocc^2 >= 128) or the virtual axis last.
     if engine == "auto":
         engine = "fused" if jax.default_backend() == "tpu" else "xla"
-    if engine not in ("fused", "xla"):
+    if engine not in ("fused", "fused2", "xla"):
         raise ValueError(f"unknown (T) engine {engine!r}; use 'fused', "
-                         "'xla' or 'auto'")
+                         "'fused2', 'xla' or 'auto'")
 
     # t2T[c, f, (j,k)] = t2[k, j, c, f]
     t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
@@ -101,7 +101,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # vooo[a, i, (j,m)] = (ia|jm)
     vooo = padv(eris.ovoo.astype(dtype).transpose(1, 0, 2, 3), [0])
     vooo = vooo.reshape(vooo.shape[0], nocc, nocc * nocc)
-    if engine == "fused":
+    if engine in ("fused", "fused2"):
         # swapped-pair layout t2Ts[c, f, (k,j)] and tile-axes-leading
         # oovv_T[x, y, i, j] = (ix|jy) for canonical-emission dots
         t2Ts = padv(t2.astype(dtype).transpose(2, 3, 0, 1), [0, 1])
@@ -143,7 +143,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # remote compile at production scale.
     big_arrays = dict(t2T=t2T, vooo=vooo, t1p=t1p,
                       fvo_p=fvo_p, ev_p=ev_p, eo=eo)
-    if engine == "fused":
+    if engine in ("fused", "fused2"):
         big_arrays["t2Ts"] = t2Ts
         big_arrays["oovv_T"] = oovv_T
     else:
@@ -378,11 +378,113 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
         return tile_energy
 
-    if engine == "fused":
+    def make_tile_energy_fused2(big, interpret=False):
+        """v2 scan body: the 6-way W1 sum and the V term are assembled in
+        XLA on canonical (ta,tb,tc,i,j,k) axes (minor-preserving transposes
+        fused into one add/write), so the Pallas kernel reads TWO tile
+        arrays instead of six and keeps only the w2 dots + Z combine +
+        reduction (ops/triples_combine.tile_energy_fused_v2)."""
+        from pyscf_mpcc_tpu.ops.triples_combine import (
+            PERMS, W_PLAN, canonical_w1_sum, emit_w_dot,
+            tile_energy_fused_v2)
+        t2T = big["t2T"]
+        t2Ts = big["t2Ts"]
+        vooo = big["vooo"]
+        oovv_T = big["oovv_T"]
+        t1p = big["t1p"]
+        fvo_p = big["fvo_p"]
+        ev_p = big["ev_p"]
+        eo = big["eo"]
+        ovvv = big.get("ovvv")
+        Lov = big.get("Lov")
+        Lvv = big.get("Lvv")
+        act_occ = big.get("act_occ")
+        act_vir = big.get("act_vir")
+        eijk = (eo[:, None, None] + eo[None, :, None]
+                + eo[None, None, :])
+        if act_occ is not None:
+            actocc3 = (act_occ[:, None, None] * act_occ[None, :, None]
+                       * act_occ[None, None, :])
+        zi32 = jnp.int32(0)
+
+        def tile_energy(carry, abc):
+            starts = tuple(jnp.int32(abc[r] * T) for r in range(3))
+            if ovvv is None:
+                lo = [jax.lax.dynamic_slice(
+                    Lov, (zi32, zi32, s), (Lov.shape[0], o, T))
+                    for s in starts]
+                lv = [jax.lax.dynamic_slice(
+                    Lvv, (zi32, zi32, s), (Lvv.shape[0], nvp, T))
+                    for s in starts]
+            ovb = {}
+            for (xi, yi) in set((p[0], p[1]) for p in PERMS):
+                if ovvv is not None:
+                    blk = jax.lax.dynamic_slice(
+                        ovvv, (zi32, starts[xi], zi32, starts[yi]),
+                        (o, T, nvp, T))
+                    ovb[(xi, yi)] = blk.transpose(1, 3, 0, 2)
+                else:
+                    ovb[(xi, yi)] = jnp.einsum(
+                        "Lix,Lfy->xyif", lo[xi], lv[yi],
+                        preferred_element_type=dtype)
+            t2T_sl = {("jk", r): jax.lax.dynamic_slice(
+                t2T, (s, zi32, zi32), (T, nvp, oo))
+                for r, s in enumerate(starts)}
+            t2T_sl.update({("kj", r): jax.lax.dynamic_slice(
+                t2Ts, (s, zi32, zi32), (T, nvp, oo))
+                for r, s in enumerate(starts)})
+            w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
+                                 t2T_sl[(W_PLAN[p]["t2"], p[2])],
+                                 dtype, T, o) for p in PERMS]
+            wsum = canonical_w1_sum(w_list, T, o)
+            # V term on canonical axes, assembled from broadcasts (one
+            # fused XLA write; cf. the xla engine's per-perm v build)
+            vterm = jnp.zeros((T, T, T, o, o, o), dtype)
+            for p in PERMS:
+                xi, yi, zi = p
+                oovv_xy = jax.lax.dynamic_slice(
+                    oovv_T, (starts[xi], starts[yi], zi32, zi32),
+                    (T, T, o, o))
+                t1z = jax.lax.dynamic_slice(t1p, (zi32, starts[zi]), (o, T))
+                fvoz = jax.lax.dynamic_slice(fvo_p, (starts[zi], zi32),
+                                             (T, o))
+                t2yx = jax.lax.dynamic_slice(
+                    t2T, (starts[yi], starts[xi], zi32), (T, T, oo)
+                ).reshape(T, T, o, o)
+                v = 0.5 * (jnp.einsum("xyij,kz->xyzijk", oovv_xy, t1z)
+                           + jnp.einsum("yxij,zk->xyzijk", t2yx, fvoz))
+                inv = [p.index(0), p.index(1), p.index(2)]
+                axes = tuple(inv) + tuple(3 + q for q in inv)
+                vterm = vterm + jnp.transpose(v, axes)
+            vooo4_t = jnp.stack([jax.lax.dynamic_slice(
+                vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, o, o, o)
+                for s in starts])
+            t2p = jnp.stack([jnp.stack([jax.lax.dynamic_slice(
+                t2T, (s1, s2, zi32), (T, T, oo)).reshape(T, T, o, o)
+                for s2 in starts]) for s1 in starts])
+            evt = jnp.stack([jax.lax.dynamic_slice(ev_p, (s,), (T,))
+                             for s in starts])
+            gabc = jnp.stack([s + jnp.arange(T, dtype=jnp.int32)
+                              for s in starts])
+            kw = {}
+            if act_occ is not None:
+                kw = dict(actv=jnp.stack([jax.lax.dynamic_slice(
+                    act_vir, (s,), (T,)) for s in starts]),
+                    actocc=actocc3, act_mode=mode)
+            e = tile_energy_fused_v2(wsum, vterm, vooo4_t, t2p,
+                                     eijk, gabc, evt, interpret=interpret,
+                                     **kw)
+            return carry + e.astype(carry.dtype), e
+
+        return tile_energy
+
+    if engine in ("fused", "fused2"):
         interp = jax.default_backend() != "tpu"
+        maker = (make_tile_energy_fused if engine == "fused"
+                 else make_tile_energy_fused2)
 
         def tile_fn(big):
-            return make_tile_energy_fused(big, interpret=interp)
+            return maker(big, interpret=interp)
     else:
         tile_fn = make_tile_energy
 

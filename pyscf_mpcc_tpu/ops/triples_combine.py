@@ -196,6 +196,216 @@ def _kernel_entry(o, T, act_mode, dtype, gabc, evt, actv, *rest):
                      fvoc, eijk, actocc, out))
 
 
+# ---------------------------------------------------------------------------
+# v2 epilogue: hoist the 6-way W1 sum and the V term to XLA, slim the kernel
+# ---------------------------------------------------------------------------
+#
+# Because canonical emission already places every occupied axis of the six
+# emit_w_dot outputs in canonical order up to NON-minor moves, the transpose
+# from each emit layout to the canonical (ta, tb, tc, i, j, k) tile array
+# never touches the minor axis — it is a cheap relayout XLA fuses into the
+# 6-way add.  The kernel then reads ONE Wsum array (67 MB/tile at bench
+# shape) instead of six, and the V term (pure broadcasts) is likewise
+# assembled in one fused XLA write.  Measured on v5e at (H2O)8 shape this
+# halves the per-tile epilogue time (see bench.py triples detail).
+#
+# Canonical axes per perm, derived from the emit layouts:
+#   ov_first  arrays are (x, y, i', z, P1, P2); t2_first are
+#   (z, x, y, P1, P2, i'); pair (P1, P2) = (j', k') for layout 'jk' and
+#   (k', j') for 'kj'.  Canonical slot q takes tile role inv[q] and
+#   occupied role inv[q] (inv = p.index(0..2)).  Axis 5 is preserved in
+#   every case.
+W1_CANON = {
+    (0, 1, 2): (0, 1, 3, 2, 4, 5),
+    (0, 2, 1): (0, 3, 1, 2, 4, 5),
+    (1, 0, 2): (1, 0, 3, 4, 2, 5),
+    (1, 2, 0): (3, 0, 1, 4, 2, 5),
+    (2, 0, 1): (2, 0, 1, 3, 4, 5),
+    (2, 1, 0): (0, 2, 1, 3, 4, 5),
+}
+
+# w2[x,y,z,i,j,k] = sum_m vooo[x, i, (j,m)] t2[k, m, z, y] inside the
+# kernel: the dot contracts fused-pair vooo rows ((P1,P2), m) against the
+# t2 cell (m, k), giving (P1, P2, k') after the supported MAJOR-dim
+# split.  (Emitting k' leading would need a minor-dim split, which Mosaic
+# rejects.)  Choosing the pair layout ('ij' or 'ji') leaves two perms
+# fully canonical; the other four need the listed in-kernel transpose of
+# the (o,o,o) cell — same cost class as the v1 kernel's inv-transposes.
+W2_PLAN = {
+    (0, 1, 2): dict(pair="ij", post=None),
+    (1, 0, 2): dict(pair="ji", post=None),
+    (0, 2, 1): dict(pair="ij", post=(0, 2, 1)),
+    (1, 2, 0): dict(pair="ij", post=(2, 0, 1)),
+    (2, 0, 1): dict(pair="ji", post=(0, 2, 1)),
+    (2, 1, 0): dict(pair="ji", post=(2, 0, 1)),
+}
+
+
+def canonical_w1_sum(w_list, T, o):
+    """Sum of the six emit_w_dot outputs on canonical (ta,tb,tc,i,j,k)
+    axes — six minor-preserving transposes fused into one add by XLA."""
+    acc = None
+    for p, w in zip(PERMS, w_list):
+        wt = jnp.transpose(w, W1_CANON[p])
+        if wt.shape != (T, T, T, o, o, o):
+            raise ValueError("emit layout mismatch")
+        acc = wt if acc is None else acc + wt
+    return acc
+
+
+def _combine_kernel_v2(o, T, act_mode, dtype, refs):
+    (gabc_ref, evt_ref, actv_ref, wsum_ref, vterm_ref,
+     va_ij0_ref, va_ij1_ref, va_ji1_ref, va_ji2_ref,
+     t2p_refs, eijk_ref, actocc_ref, out_ref) = refs
+    A = pl.program_id(0)
+    B = pl.program_id(1)
+    etot = jnp.zeros((), dtype)
+    wsum = wsum_ref[...]
+    vterm = vterm_ref[...]
+    va_ij0 = va_ij0_ref[...]      # (oo, o)  role-0 (grid A)
+    va_ij1 = va_ij1_ref[...]      # (oo, o)  role-1 (grid B)
+    va_ji1 = va_ji1_ref[...]      # (oo, o)  role-1
+    va_ji2 = va_ji2_ref[...]      # (T, oo, o)  role-2 column
+    t2pv = {k: r[...] for k, r in t2p_refs.items()}
+    eijkv = eijk_ref[...]
+    actoccv = actocc_ref[...] if act_mode is not None else None
+
+    def cell(val, zi, yi, c):
+        # pair block value -> (o, o) matrix of cell c (role-2 dim leads)
+        return val[c] if (zi == 2 or yi == 2) else val
+
+    for c in range(T):
+        accW = wsum[c]
+        # ---- subtract the six w2 dots (canonical up to W2_PLAN['post'])
+        for p in PERMS:
+            xi, yi, zi = p
+            plan = W2_PLAN[p]
+            if plan["pair"] == "ij":
+                va = va_ij0 if xi == 0 else va_ij1
+            else:
+                va = va_ji2[c] if xi == 2 else va_ji1
+            t2mk = cell(t2pv[(zi, yi)], zi, yi, c)
+            w2 = jax.lax.dot_general(
+                va, t2mk, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype).reshape(o, o, o)
+            if plan["post"] is not None:
+                w2 = jnp.transpose(w2, plan["post"])
+            accW = accW - w2
+        V = accW + vterm[c]
+        Z = (4.0 * V
+             + jnp.transpose(V, (1, 2, 0))
+             + jnp.transpose(V, (2, 0, 1))
+             - 2.0 * jnp.transpose(V, (2, 1, 0))
+             - 2.0 * jnp.transpose(V, (0, 2, 1))
+             - 2.0 * jnp.transpose(V, (1, 0, 2)))
+        eabc = evt_ref[0, A] + evt_ref[1, B] + evt_ref[2, c]
+        zd = Z / (eijkv - eabc)
+        if act_mode is not None:
+            af = actv_ref[0, A] * actv_ref[1, B] * actv_ref[2, c]
+            act6 = af * actoccv
+            zd = zd * ((1.0 - act6) if act_mode == "exclude_active"
+                       else act6)
+        ga = gabc_ref[0, A]
+        gb = gabc_ref[1, B]
+        gc = gabc_ref[2, c]
+        wgt = jnp.where((ga > gb) & (gb > gc), 1.0,
+                        jnp.where((ga == gb) & (gb == gc), 1.0 / 6.0,
+                                  jnp.where((ga >= gb) & (gb >= gc),
+                                            0.5, 0.0)))
+        etot = etot + jnp.sum(accW * zd) * wgt.astype(dtype)
+
+    first = (A == 0) & (B == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[0, 0] = etot
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + etot
+
+
+# the six (zi, yi) role pairs addressed by the kernel's w2 t2-cells
+_V2_T2P_PAIRS = tuple(sorted({(p[2], p[1]) for p in PERMS}))
+
+
+def _kernel_entry_v2(o, T, act_mode, dtype, gabc, evt, actv, wsum, vterm,
+                     va_ij0, va_ij1, va_ji1, va_ji2, *rest):
+    n = len(_V2_T2P_PAIRS)
+    t2p_refs = dict(zip(_V2_T2P_PAIRS, rest[:n]))
+    eijk, actocc, out = rest[n:]
+    _combine_kernel_v2(o, T, act_mode, dtype,
+                       (gabc, evt, actv, wsum, vterm, va_ij0, va_ij1,
+                        va_ji1, va_ji2, t2p_refs, eijk, actocc, out))
+
+
+def tile_energy_fused_v2(wsum, vterm, vooo4_t, t2p, eijk, gabc, evt,
+                         actv=None, actocc=None, act_mode=None,
+                         interpret=False):
+    """v2 tile energy: Wsum/Vterm precomputed in XLA (canonical layout),
+    kernel does only the w2 dots, the Z combine, and the reduction.
+
+    wsum/vterm: (T, T, T, o, o, o) canonical tile arrays
+    vooo4_t:    (3, T, o, o, o)  [a, i, j, m] blocks at the tile starts
+    t2p:        (3, 3, T, T, o, o) pair blocks ((m, k) cells)
+    """
+    T = wsum.shape[0]
+    o = wsum.shape[-1]
+    dtype = wsum.dtype
+    # vooo pair layouts (small, built where XLA transposes are free)
+    va_ij = vooo4_t.reshape(3, T, o * o, o)
+    va_ji = vooo4_t.transpose(0, 1, 3, 2, 4).reshape(3, T, o * o, o)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda A, B: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    col6 = pl.BlockSpec((None, None, T, o, o, o),
+                        lambda A, B: (A, B, 0, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def vooo_spec(r, fused_rows):
+        shp = ((None, T if r == 2 else None, o * o, o) if fused_rows
+               else (None, T if r == 2 else None, o, o * o))
+        return pl.BlockSpec(shp, lambda A, B, r=r: (r, _gid(r, A, B), 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pair_spec(r1, r2):
+        return pl.BlockSpec(
+            (None, None, T if r1 == 2 else None, T if r2 == 2 else None,
+             o, o),
+            lambda A, B, r1=r1, r2=r2: (r1, r2, _gid(r1, A, B),
+                                        _gid(r2, A, B), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = ([smem, smem, smem, col6, col6,
+                 vooo_spec(0, True), vooo_spec(1, True),
+                 vooo_spec(1, True), vooo_spec(2, True)]
+                + [pair_spec(r1, r2) for (r1, r2) in _V2_T2P_PAIRS]
+                + [full((o, o, o)), full((o, o, o))])
+    if actv is None:
+        actv = jnp.zeros((3, T), dtype)
+        actocc = jnp.zeros((o, o, o), dtype)
+
+    kernel = partial(_kernel_entry_v2, o, T, act_mode, dtype)
+    extra = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+    out = pl.pallas_call(
+        kernel,
+        grid=(T, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+        interpret=interpret,
+        **extra,
+    )(gabc, evt, actv, wsum, vterm, va_ij, va_ij, va_ji, va_ji,
+      *([t2p] * len(_V2_T2P_PAIRS)),
+      eijk, actocc)
+    return out[0, 0]
+
+
 def emit_w_dot(p, ovb, t2op, dtype, T, o):
     """The perm-p W1 dot in its canonical-emission form (see W_PLAN).
 

@@ -56,3 +56,23 @@ def test_fused_engine_active_mask_matches_xla():
     e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla", **kw))
     e_fused = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused", **kw))
     np.testing.assert_allclose(e_fused, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_fused2_engine_matches_xla_engine():
+    # v2 epilogue: XLA-hoisted canonical W1 sum + V term, slim kernel
+    t1, t2, eris = _rand_problem(seed=3)
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_2 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused2"))
+    assert abs(e_xla) > 1e-8
+    np.testing.assert_allclose(e_2, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_fused2_engine_active_mask_matches_xla():
+    t1, t2, eris = _rand_problem(seed=11)
+    for m in ("only_active", "exclude_active"):
+        kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode=m)
+        e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla",
+                                    **kw))
+        e_2 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused2",
+                                  **kw))
+        np.testing.assert_allclose(e_2, e_xla, rtol=1e-10, atol=1e-12)
