@@ -385,7 +385,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
         arrays instead of six and keeps only the w2 dots + Z combine +
         reduction (ops/triples_combine.tile_energy_fused_v2)."""
         from pyscf_mpcc_tpu.ops.triples_combine import (
-            PERMS, W_PLAN, canonical_w1_sum, emit_w_dot,
+            PERMS, W_PLAN, W1_RAW2, canonical_w1_sum4, emit_w_dot,
             tile_energy_fused_v2)
         t2T = big["t2T"]
         t2Ts = big["t2Ts"]
@@ -436,12 +436,18 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
                                  t2T_sl[(W_PLAN[p]["t2"], p[2])],
                                  dtype, T, o) for p in PERMS]
-            wsum = canonical_w1_sum(w_list, T, o)
-            # V term on canonical axes, assembled from broadcasts (one
-            # fused XLA write; cf. the xla engine's per-perm v build)
+            wsum = canonical_w1_sum4(w_list, T, o)
+            w_raw = [w_list[PERMS.index(p)] for p in W1_RAW2]
+            # V term EMITTED on canonical axes (einsum output labels carry
+            # the joint permutation): XLA fuses the 12 broadcast products
+            # into one 6D write — per-perm transposes of materialized 6D
+            # arrays measured ~4.4 ms/tile at bench shape, this ~0.3 ms
             vterm = jnp.zeros((T, T, T, o, o, o), dtype)
             for p in PERMS:
                 xi, yi, zi = p
+                inv = [p.index(0), p.index(1), p.index(2)]
+                out_lbl = ("".join("xyz"[q] for q in inv)
+                           + "".join("ijk"[q] for q in inv))
                 oovv_xy = jax.lax.dynamic_slice(
                     oovv_T, (starts[xi], starts[yi], zi32, zi32),
                     (T, T, o, o))
@@ -451,11 +457,9 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 t2yx = jax.lax.dynamic_slice(
                     t2T, (starts[yi], starts[xi], zi32), (T, T, oo)
                 ).reshape(T, T, o, o)
-                v = 0.5 * (jnp.einsum("xyij,kz->xyzijk", oovv_xy, t1z)
-                           + jnp.einsum("yxij,zk->xyzijk", t2yx, fvoz))
-                inv = [p.index(0), p.index(1), p.index(2)]
-                axes = tuple(inv) + tuple(3 + q for q in inv)
-                vterm = vterm + jnp.transpose(v, axes)
+                vterm = vterm + 0.5 * (
+                    jnp.einsum(f"xyij,kz->{out_lbl}", oovv_xy, t1z)
+                    + jnp.einsum(f"yxij,zk->{out_lbl}", t2yx, fvoz))
             vooo4_t = jnp.stack([jax.lax.dynamic_slice(
                 vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, o, o, o)
                 for s in starts])
@@ -471,7 +475,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 kw = dict(actv=jnp.stack([jax.lax.dynamic_slice(
                     act_vir, (s,), (T,)) for s in starts]),
                     actocc=actocc3, act_mode=mode)
-            e = tile_energy_fused_v2(wsum, vterm, vooo4_t, t2p,
+            e = tile_energy_fused_v2(wsum, vterm, w_raw, vooo4_t, t2p,
                                      eijk, gabc, evt, interpret=interpret,
                                      **kw)
             return carry + e.astype(carry.dtype), e

@@ -241,20 +241,39 @@ W2_PLAN = {
 }
 
 
-def canonical_w1_sum(w_list, T, o):
-    """Sum of the six emit_w_dot outputs on canonical (ta,tb,tc,i,j,k)
-    axes — six minor-preserving transposes fused into one add by XLA."""
+# Perms whose canonicalizing transpose keeps the last TWO emit axes
+# adjacent and in order: their transpose runs on the pair-fused 5D view
+# (minor dim o*o >= 128 -> full lane width).  Measured on v5e this is the
+# difference between ~0.9 ms and ~0.15 ms per 67 MB array: a trailing
+# (o, o) block uses 32 of 128 lanes, the fused (o*o,) minor uses all.
+W1_FUSED4 = {
+    (0, 1, 2): (0, 1, 3, 2, 4),
+    (0, 2, 1): (0, 3, 1, 2, 4),
+    (2, 0, 1): (2, 0, 1, 3, 4),
+    (2, 1, 0): (0, 2, 1, 3, 4),
+}
+# the two p[0] == 1 perms place the ov-side occupied index BETWEEN the
+# pair elements — no fused-view transpose exists; they go to the kernel
+# in raw emit layout (v1-style BlockSpec + per-cell slice/swap)
+W1_RAW2 = ((1, 0, 2), (1, 2, 0))
+
+
+def canonical_w1_sum4(w_list, T, o):
+    """Canonical (ta,tb,tc,i,j,k) sum of the four fusable emit_w_dot
+    outputs, computed at full lane width on the pair-fused 5D views."""
     acc = None
     for p, w in zip(PERMS, w_list):
-        wt = jnp.transpose(w, W1_CANON[p])
-        if wt.shape != (T, T, T, o, o, o):
-            raise ValueError("emit layout mismatch")
+        ax5 = W1_FUSED4.get(p)
+        if ax5 is None:
+            continue
+        w5 = w.reshape(w.shape[:4] + (w.shape[4] * w.shape[5],))
+        wt = jnp.transpose(w5, ax5)
         acc = wt if acc is None else acc + wt
-    return acc
+    return acc.reshape(T, T, T, o, o, o)
 
 
 def _combine_kernel_v2(o, T, act_mode, dtype, refs):
-    (gabc_ref, evt_ref, actv_ref, wsum_ref, vterm_ref,
+    (gabc_ref, evt_ref, actv_ref, wsum_ref, vterm_ref, wraw_refs,
      va_ij0_ref, va_ij1_ref, va_ji1_ref, va_ji2_ref,
      t2p_refs, eijk_ref, actocc_ref, out_ref) = refs
     A = pl.program_id(0)
@@ -262,6 +281,7 @@ def _combine_kernel_v2(o, T, act_mode, dtype, refs):
     etot = jnp.zeros((), dtype)
     wsum = wsum_ref[...]
     vterm = vterm_ref[...]
+    wraw = [r[...] for r in wraw_refs]   # the two p[0]==1 emit arrays
     va_ij0 = va_ij0_ref[...]      # (oo, o)  role-0 (grid A)
     va_ij1 = va_ij1_ref[...]      # (oo, o)  role-1 (grid B)
     va_ji1 = va_ji1_ref[...]      # (oo, o)  role-1
@@ -276,6 +296,8 @@ def _combine_kernel_v2(o, T, act_mode, dtype, refs):
 
     for c in range(T):
         accW = wsum[c]
+        for p, wv in zip(W1_RAW2, wraw):
+            accW = accW + _w_cell(p, wv, c)
         # ---- subtract the six w2 dots (canonical up to W2_PLAN['post'])
         for p in PERMS:
             xi, yi, zi = p
@@ -330,22 +352,26 @@ _V2_T2P_PAIRS = tuple(sorted({(p[2], p[1]) for p in PERMS}))
 
 
 def _kernel_entry_v2(o, T, act_mode, dtype, gabc, evt, actv, wsum, vterm,
-                     va_ij0, va_ij1, va_ji1, va_ji2, *rest):
+                     wraw0, wraw1, va_ij0, va_ij1, va_ji1, va_ji2, *rest):
     n = len(_V2_T2P_PAIRS)
     t2p_refs = dict(zip(_V2_T2P_PAIRS, rest[:n]))
     eijk, actocc, out = rest[n:]
     _combine_kernel_v2(o, T, act_mode, dtype,
-                       (gabc, evt, actv, wsum, vterm, va_ij0, va_ij1,
-                        va_ji1, va_ji2, t2p_refs, eijk, actocc, out))
+                       (gabc, evt, actv, wsum, vterm, (wraw0, wraw1),
+                        va_ij0, va_ij1, va_ji1, va_ji2, t2p_refs, eijk,
+                        actocc, out))
 
 
-def tile_energy_fused_v2(wsum, vterm, vooo4_t, t2p, eijk, gabc, evt,
+def tile_energy_fused_v2(wsum, vterm, w_raw, vooo4_t, t2p, eijk, gabc, evt,
                          actv=None, actocc=None, act_mode=None,
                          interpret=False):
-    """v2 tile energy: Wsum/Vterm precomputed in XLA (canonical layout),
-    kernel does only the w2 dots, the Z combine, and the reduction.
+    """v2 tile energy: the fusable 4-perm W1 sum and the V term arrive
+    precomputed in XLA canonical layout; the kernel adds the two raw
+    p[0]==1 emit arrays (cheap per-cell slice + non-minor swap), does the
+    w2 dots, the Z combine, and the reduction.
 
     wsum/vterm: (T, T, T, o, o, o) canonical tile arrays
+    w_raw:      the two W1_RAW2 emit arrays in emit_w_dot layout
     vooo4_t:    (3, T, o, o, o)  [a, i, j, m] blocks at the tile starts
     t2p:        (3, 3, T, T, o, o) pair blocks ((m, k) cells)
     """
@@ -379,9 +405,10 @@ def tile_energy_fused_v2(wsum, vterm, vooo4_t, t2p, eijk, gabc, evt,
                                         _gid(r2, A, B), 0, 0),
             memory_space=pltpu.VMEM)
 
-    in_specs = ([smem, smem, smem, col6, col6,
-                 vooo_spec(0, True), vooo_spec(1, True),
-                 vooo_spec(1, True), vooo_spec(2, True)]
+    in_specs = ([smem, smem, smem, col6, col6]
+                + [_wspec(p, o, T) for p in W1_RAW2]
+                + [vooo_spec(0, True), vooo_spec(1, True),
+                   vooo_spec(1, True), vooo_spec(2, True)]
                 + [pair_spec(r1, r2) for (r1, r2) in _V2_T2P_PAIRS]
                 + [full((o, o, o)), full((o, o, o))])
     if actv is None:
@@ -400,7 +427,8 @@ def tile_energy_fused_v2(wsum, vterm, vooo4_t, t2p, eijk, gabc, evt,
         out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
         interpret=interpret,
         **extra,
-    )(gabc, evt, actv, wsum, vterm, va_ij, va_ij, va_ji, va_ji,
+    )(gabc, evt, actv, wsum, vterm, w_raw[0], w_raw[1],
+      va_ij, va_ij, va_ji, va_ji,
       *([t2p] * len(_V2_T2P_PAIRS)),
       eijk, actocc)
     return out[0, 0]
