@@ -147,20 +147,7 @@ def _combine_kernel(o, T, act_mode, dtype, refs):
             accV = accV + 0.5 * (a * b + cc * d)
 
         V = accV + accW
-        Z = (4.0 * V
-             + jnp.transpose(V, (1, 2, 0))
-             + jnp.transpose(V, (2, 0, 1))
-             - 2.0 * jnp.transpose(V, (2, 1, 0))
-             - 2.0 * jnp.transpose(V, (0, 2, 1))
-             - 2.0 * jnp.transpose(V, (1, 0, 2)))
-
         eabc = evt_ref[0, A] + evt_ref[1, B] + evt_ref[2, c]
-        zd = Z / (eijkv - eabc)
-        if act_mode is not None:
-            af = actv_ref[0, A] * actv_ref[1, B] * actv_ref[2, c]
-            act6 = af * actoccv
-            zd = zd * ((1.0 - act6) if act_mode == "exclude_active"
-                       else act6)
         ga = gabc_ref[0, A]
         gb = gabc_ref[1, B]
         gc = gabc_ref[2, c]
@@ -168,6 +155,26 @@ def _combine_kernel(o, T, act_mode, dtype, refs):
                         jnp.where((ga == gb) & (gb == gc), 1.0 / 6.0,
                                   jnp.where((ga >= gb) & (gb >= gc),
                                             0.5, 0.0)))
+        if act_mode is not None:
+            af = actv_ref[0, A] * actv_ref[1, B] * actv_ref[2, c]
+            act6 = af * actoccv
+            mask = (1.0 - act6) if act_mode == "exclude_active" else act6
+        # Of the five permutations of V, only TWO need a lane-crossing
+        # relayout: V^(2,1,0) and V^(0,2,1) are (1,0,2)-children of
+        # V^(2,0,1) and V^(1,2,0) (swap of the two NON-minor dims — a
+        # cheap sublane shuffle).  Bit-exact: same element values, same
+        # summation order as the naive six-transpose form.
+        Vx = jnp.transpose(V, (1, 2, 0))    # V[j,k,i]   (lane-crossing)
+        Vy = jnp.transpose(V, (2, 0, 1))    # V[k,i,j]   (lane-crossing)
+        Z = (4.0 * V
+             + Vx
+             + Vy
+             - 2.0 * jnp.transpose(Vy, (1, 0, 2))   # = V^(2,1,0)
+             - 2.0 * jnp.transpose(Vx, (1, 0, 2))   # = V^(0,2,1)
+             - 2.0 * jnp.transpose(V, (1, 0, 2)))
+        zd = Z / (eijkv - eabc)
+        if act_mode is not None:
+            zd = zd * mask
         etot = etot + jnp.sum(accW * zd) * wgt.astype(dtype)
 
     first = (A == 0) & (B == 0)
