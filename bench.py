@@ -151,7 +151,9 @@ def run_parity(cfg):
 
 
 def run_triples(cfg):
-    """(T) throughput child: fused Pallas engine, bench shape, tile probe."""
+    """(T) throughput child: probe the Pallas engines (v2 then v1), fall
+    back to pure XLA; report every engine that ran so a Mosaic regression
+    is visible in the record, headline the fastest."""
     import time as _time
     import jax
     import jax.numpy as jnp
@@ -169,26 +171,44 @@ def run_triples(cfg):
     ntiles = M._tile_triples(nvp // tile).shape[0]
     orig = M._tile_triples
     M._tile_triples = lambda nvt: orig(nvt)[:nprobe]
-    engine = "fused"
-    try:
-        e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
-                     tiles_per_call=nprobe)      # compile + warm
-    except Exception:
-        # Mosaic/compile regression in the Pallas path must not cost the
-        # round its (T) measurement — fall back to the pure-XLA engine
-        engine = "xla"
-        e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
-                     tiles_per_call=nprobe)
-    t0 = _time.perf_counter()
-    e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
-                 tiles_per_call=nprobe)
-    dt = _time.perf_counter() - t0
     fpt = (2 * 6 * tile**3 * nocc**3 * nvp + 2 * 6 * tile**3 * nocc**4
            + 2 * 6 * naux * nocc * tile * nvp * tile)
-    return dict(tflops=fpt * nprobe / dt / 1e12,
-                est_full_sec=dt / nprobe * ntiles, ntiles=ntiles,
-                probe_sec=dt, energy_finite=bool(np.isfinite(e)),
-                engine=engine)
+    tried = {}
+    best = None
+    for engine in cfg.get("engines", ["fused2", "fused"]):
+        try:
+            e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
+                         tiles_per_call=nprobe)      # compile + warm
+            t0 = _time.perf_counter()
+            e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
+                         tiles_per_call=nprobe)
+            dt = _time.perf_counter() - t0
+            tried[engine] = dict(tflops=round(fpt * nprobe / dt / 1e12, 2),
+                                 probe_sec=round(dt, 3),
+                                 energy_finite=bool(np.isfinite(e)))
+            if best is None or dt < tried[best]["probe_sec"]:
+                best = engine
+        except Exception as ex:
+            tried[engine] = dict(error=f"{type(ex).__name__}")
+    if best is None:
+        # Mosaic/compile regression in every Pallas path must not cost
+        # the round its (T) measurement — measure the pure-XLA engine
+        best = "xla"
+        e = M.kernel(t1, t2, eris, tile=tile, engine=best,
+                     tiles_per_call=nprobe)
+        t0 = _time.perf_counter()
+        e = M.kernel(t1, t2, eris, tile=tile, engine=best,
+                     tiles_per_call=nprobe)
+        dt = _time.perf_counter() - t0
+        tried[best] = dict(tflops=round(fpt * nprobe / dt / 1e12, 2),
+                           probe_sec=round(dt, 3),
+                           energy_finite=bool(np.isfinite(e)))
+    bt = tried[best]
+    return dict(tflops=bt["tflops"],
+                est_full_sec=bt["probe_sec"] / nprobe * ntiles,
+                ntiles=ntiles, probe_sec=bt["probe_sec"],
+                energy_finite=bt["energy_finite"], engine=best,
+                engines_tried=tried)
 
 
 def _device_alive(timeout=45):
@@ -298,9 +318,10 @@ def main():
                 "est_full_T_sec": round(t["est_full_sec"], 1),
                 "ntiles_total": t["ntiles"],
                 "energy_finite": t["energy_finite"],
-                # 'fused' = the Pallas combine kernel ran; 'xla' = it failed
-                # to compile and the measurement is of the fallback engine
+                # 'fused2'/'fused' = a Pallas combine kernel ran; 'xla' =
+                # both failed to compile and this measures the fallback
                 "engine": t.get("engine", "unknown"),
+                "engines_tried": t.get("engines_tried", {}),
             }
             enriched = True
     # on-device parity: fp32 CCSD+Lambda on the chip, fp64 Lagrangian
