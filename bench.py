@@ -175,7 +175,7 @@ def run_triples(cfg):
            + 2 * 6 * naux * nocc * tile * nvp * tile)
     tried = {}
     best = None
-    for engine in cfg.get("engines", ["fused2", "fused"]):
+    for engine in cfg.get("engines", ["fused3", "fused2", "fused"]):
         try:
             e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
                          tiles_per_call=nprobe)      # compile + warm

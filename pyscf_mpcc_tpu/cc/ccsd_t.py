@@ -91,9 +91,9 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # axis (nocc^2 >= 128) or the virtual axis last.
     if engine == "auto":
         engine = "fused" if jax.default_backend() == "tpu" else "xla"
-    if engine not in ("fused", "fused2", "xla"):
+    if engine not in ("fused", "fused2", "fused3", "xla"):
         raise ValueError(f"unknown (T) engine {engine!r}; use 'fused', "
-                         "'fused2', 'xla' or 'auto'")
+                         "'fused2', 'fused3', 'xla' or 'auto'")
 
     # t2T[c, f, (j,k)] = t2[k, j, c, f]
     t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
@@ -101,7 +101,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # vooo[a, i, (j,m)] = (ia|jm)
     vooo = padv(eris.ovoo.astype(dtype).transpose(1, 0, 2, 3), [0])
     vooo = vooo.reshape(vooo.shape[0], nocc, nocc * nocc)
-    if engine in ("fused", "fused2"):
+    if engine in ("fused", "fused2", "fused3"):
         # swapped-pair layout t2Ts[c, f, (k,j)] and tile-axes-leading
         # oovv_T[x, y, i, j] = (ix|jy) for canonical-emission dots
         t2Ts = padv(t2.astype(dtype).transpose(2, 3, 0, 1), [0, 1])
@@ -143,7 +143,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # remote compile at production scale.
     big_arrays = dict(t2T=t2T, vooo=vooo, t1p=t1p,
                       fvo_p=fvo_p, ev_p=ev_p, eo=eo)
-    if engine in ("fused", "fused2"):
+    if engine in ("fused", "fused2", "fused3"):
         big_arrays["t2Ts"] = t2Ts
         big_arrays["oovv_T"] = oovv_T
     else:
@@ -482,10 +482,102 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
         return tile_energy
 
-    if engine in ("fused", "fused2"):
+    def make_tile_energy_fused3(big, interpret=False):
+        """v3 scan body: the kernel streams ONE pair-fused canonical W1
+        sum (full lane width), keeps every small operand resident across
+        the grid, and computes the V term in-register — see the v3 design
+        note in ops/triples_combine.py."""
+        from pyscf_mpcc_tpu.ops.triples_combine import (
+            PERMS, W_PLAN, canonical_w1_sum6, emit_w_dot,
+            tile_energy_fused_v3)
+        t2T = big["t2T"]
+        t2Ts = big["t2Ts"]
+        vooo = big["vooo"]
+        oovv_T = big["oovv_T"]
+        t1p = big["t1p"]
+        fvo_p = big["fvo_p"]
+        ev_p = big["ev_p"]
+        eo = big["eo"]
+        ovvv = big.get("ovvv")
+        Lov = big.get("Lov")
+        Lvv = big.get("Lvv")
+        act_occ = big.get("act_occ")
+        act_vir = big.get("act_vir")
+        eijk = (eo[:, None, None] + eo[None, :, None]
+                + eo[None, None, :])
+        if act_occ is not None:
+            actocc3 = (act_occ[:, None, None] * act_occ[None, :, None]
+                       * act_occ[None, None, :])
+        zi32 = jnp.int32(0)
+
+        def tile_energy(carry, abc):
+            starts = tuple(jnp.int32(abc[r] * T) for r in range(3))
+            if ovvv is None:
+                lo = [jax.lax.dynamic_slice(
+                    Lov, (zi32, zi32, s), (Lov.shape[0], o, T))
+                    for s in starts]
+                lv = [jax.lax.dynamic_slice(
+                    Lvv, (zi32, zi32, s), (Lvv.shape[0], nvp, T))
+                    for s in starts]
+            ovb = {}
+            for (xi, yi) in set((p[0], p[1]) for p in PERMS):
+                if ovvv is not None:
+                    blk = jax.lax.dynamic_slice(
+                        ovvv, (zi32, starts[xi], zi32, starts[yi]),
+                        (o, T, nvp, T))
+                    ovb[(xi, yi)] = blk.transpose(1, 3, 0, 2)
+                else:
+                    ovb[(xi, yi)] = jnp.einsum(
+                        "Lix,Lfy->xyif", lo[xi], lv[yi],
+                        preferred_element_type=dtype)
+            t2T_sl = {("jk", r): jax.lax.dynamic_slice(
+                t2T, (s, zi32, zi32), (T, nvp, oo))
+                for r, s in enumerate(starts)}
+            t2T_sl.update({("kj", r): jax.lax.dynamic_slice(
+                t2Ts, (s, zi32, zi32), (T, nvp, oo))
+                for r, s in enumerate(starts)})
+            w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
+                                 t2T_sl[(W_PLAN[p]["t2"], p[2])],
+                                 dtype, T, o) for p in PERMS]
+            wsum = canonical_w1_sum6(w_list, T, o)
+            vooo4_t = jnp.stack([jax.lax.dynamic_slice(
+                vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, o, o, o)
+                for s in starts])
+            t2p = jnp.stack([jnp.stack([jax.lax.dynamic_slice(
+                t2T, (s1, s2, zi32), (T, T, oo)).reshape(T, T, o, o)
+                for s2 in starts]) for s1 in starts])
+            oovv_t = jnp.stack([jnp.stack([jax.lax.dynamic_slice(
+                oovv_T, (s1, s2, zi32, zi32), (T, T, o, o))
+                for s2 in starts]) for s1 in starts])
+            t1_t = jnp.stack([jax.lax.dynamic_slice(
+                t1p, (zi32, s), (o, T)).T[:, None, :] for s in starts])
+            fvo_t = jnp.stack([jax.lax.dynamic_slice(
+                fvo_p, (s, zi32), (T, o))[:, None, :] for s in starts])
+            t1c_t = jnp.stack([jax.lax.dynamic_slice(
+                t1p, (zi32, s), (o, T)).T[:, :, None] for s in starts])
+            fvoc_t = jnp.stack([jax.lax.dynamic_slice(
+                fvo_p, (s, zi32), (T, o))[:, :, None] for s in starts])
+            evt = jnp.stack([jax.lax.dynamic_slice(ev_p, (s,), (T,))
+                             for s in starts])
+            gabc = jnp.stack([s + jnp.arange(T, dtype=jnp.int32)
+                              for s in starts])
+            kw = {}
+            if act_occ is not None:
+                kw = dict(actv=jnp.stack([jax.lax.dynamic_slice(
+                    act_vir, (s,), (T,)) for s in starts]),
+                    actocc=actocc3, act_mode=mode)
+            e = tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t,
+                                     fvo_t, t1c_t, fvoc_t, eijk, gabc,
+                                     evt, interpret=interpret, **kw)
+            return carry + e.astype(carry.dtype), e
+
+        return tile_energy
+
+    if engine in ("fused", "fused2", "fused3"):
         interp = jax.default_backend() != "tpu"
-        maker = (make_tile_energy_fused if engine == "fused"
-                 else make_tile_energy_fused2)
+        maker = {"fused": make_tile_energy_fused,
+                 "fused2": make_tile_energy_fused2,
+                 "fused3": make_tile_energy_fused3}[engine]
 
         def tile_fn(big):
             return maker(big, interpret=interp)

@@ -76,3 +76,24 @@ def test_fused2_engine_active_mask_matches_xla():
         e_2 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused2",
                                   **kw))
         np.testing.assert_allclose(e_2, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_fused3_engine_matches_xla_engine():
+    # v3 epilogue: pair-fused streamed W1 (all six perms canonicalized in
+    # XLA), resident small operands, in-kernel V term
+    t1, t2, eris = _rand_problem(seed=3)
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_3 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused3"))
+    assert abs(e_xla) > 1e-8
+    np.testing.assert_allclose(e_3, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_fused3_engine_active_mask_matches_xla():
+    t1, t2, eris = _rand_problem(seed=11)
+    for m in ("only_active", "exclude_active"):
+        kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode=m)
+        e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla",
+                                    **kw))
+        e_3 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused3",
+                                  **kw))
+        np.testing.assert_allclose(e_3, e_xla, rtol=1e-10, atol=1e-12)
