@@ -107,6 +107,15 @@ def stage_fp32():
           f"nvir={nvir} naux={er.Lvv.shape[0]} ntile={ntile}", flush=True)
 
     t_path = os.path.join(SCRATCH, "amps_t.npz")
+    # DIIS placement: the on-device ring (2 x space x |t| = 1.5 GB per
+    # space unit at this scale) eliminates the per-cycle amplitude
+    # round-trip over the dev tunnel (80 s/cycle measured round 2;
+    # ~9 min/cycle on a degraded tunnel observed round 3).  space=6 OOMs
+    # next to the update working set on one 16 GB chip, but space=3 fits
+    # and costs only a few extra cycles — at device speed that is minutes
+    # vs hours.  Knobs keep the host ring available as the fallback.
+    diis_backend = os.environ.get("W8_DIIS_BACKEND", "device")
+    diis_space = int(os.environ.get("W8_DIIS_SPACE", "3"))
     if "--reuse-scf" in sys.argv and os.path.exists(t_path):
         zt = np.load(t_path)
         t1, t2 = jnp.asarray(zt["t1"]), jnp.asarray(zt["t2"])
@@ -114,16 +123,12 @@ def stage_fp32():
         print(f"[{time.time()-t0:7.1f}s] CCSD amps reused: "
               f"E_corr = {e32:.10f}", flush=True)
     else:
-        # host DIIS: hauls ~1.5 GB of amplitudes over the dev tunnel per
-        # cycle (80 s/cycle measured vs ~10 s compute), but the on-device
-        # ring (2 x space x |t|) costs 8.8 GB of HBM at this scale and
-        # OOMs next to the update working set on a single 16 GB chip.
-        # On a pod slice the ring shards with the mesh and device DIIS is
-        # the right choice; over a tunnel the host ring wins.
         conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-7,
                                          conv_tol_normt=3e-6,
                                          max_cycle=80, ntile=ntile,
-                                         verbose=5, diis_backend="host")
+                                         verbose=5,
+                                         diis_backend=diis_backend,
+                                         diis_space=diis_space)
         print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
               f"converged={conv}", flush=True)
         assert conv
@@ -133,10 +138,15 @@ def stage_fp32():
     # a time-budgeted run stop the multiplier solve early
     lconv = float(os.environ.get("W8_LAMBDA_CONV", "3e-6"))
     lmax = int(os.environ.get("W8_LAMBDA_MAXCYC", "80"))
+    # the Lambda vjp working set is larger than the forward update's, so
+    # the Lambda ring defaults one notch smaller
+    lspace = int(os.environ.get("W8_LAMBDA_DIIS_SPACE",
+                                str(max(2, diis_space - 1))))
     cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=lconv,
                                   max_cycle=lmax,
                                   ntile=_lambda_ntile(nvir, ntile),
-                                  verbose=5, diis_backend="host")
+                                  verbose=5, diis_backend=diis_backend,
+                                  diis_space=lspace)
     print(f"[{time.time()-t0:7.1f}s] lambda converged={cl}", flush=True)
     np.savez(os.path.join(SCRATCH, "amps.npz"),
              t1=np.asarray(t1), t2=np.asarray(t2),
