@@ -532,11 +532,14 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
             t1, t2 = t1new, t2new
         elif diis_backend == "device":
             vec_new = pack(t1new, t2new)
+            t2shape = t2new.shape
+            del t1new, t2new       # 1.5 GB at production scale: release
             dstate, vec = device_diis.update(dstate, vec_new,
                                              vec_new - vec_old)
+            del vec_new
             vec_old = vec
             t1 = vec[: nocc * nvir].reshape(nocc, nvir)
-            t2 = vec[nocc * nvir:].reshape(t2new.shape)
+            t2 = vec[nocc * nvir:].reshape(t2shape)
         else:
             vec = np.concatenate([np.asarray(t1new).ravel(),
                                   np.asarray(t2new).ravel()])

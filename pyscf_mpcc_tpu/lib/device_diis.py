@@ -34,9 +34,15 @@ def init(n, space=6, dtype=jnp.float32):
     )
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def update(state: DIISState, x, err):
-    """Store (x, err), return (new_state, extrapolated_x)."""
+    """Store (x, err), return (new_state, extrapolated_x).
+
+    The state is DONATED: the ring buffers are updated in place, so the
+    transient footprint is one history slot, not a second full ring
+    (2 x space x |x| — the difference between fitting and OOMing beside
+    the CCSD update working set at (H2O)8 scale).  Callers must rebind
+    the state from the return value (all do)."""
     space, n = state.xs.shape
     slot = (state.count % space).astype(jnp.int32)
     zi = jnp.int32(0)

@@ -78,8 +78,11 @@ def test_sharded_device_diis_matches_replicated():
     vshard = NamedSharding(mesh, P(axis))
 
     state_r = device_diis.init(n, space=4, dtype=jnp.float64)
+    # update() DONATES the state, so the two states must not share any
+    # buffer — copy the scalar count instead of aliasing it
     state_s = jax.tree.map(
-        lambda a: jax.device_put(a, shard) if a.ndim == 2 else a, state_r)
+        lambda a: (jax.device_put(a, shard) if a.ndim == 2
+                   else jnp.array(a)), state_r)
     for it in range(6):
         x = jnp.asarray(rng.standard_normal(n))
         e = jnp.asarray(rng.standard_normal(n) * 0.1 ** it)
