@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benzene/cc-pVTZ CCSD on one TPU chip — the reference's own headline
+benchmark, head to head.
+
+The reference publishes exactly one flagship CCSD wall time: benzene /
+cc-pVTZ, **477.0 s total solve** on 16 Xeon cores
+(/root/reference/doc_legacy/source/benchmark.rst:44-52; BASELINE.md).
+This script runs the same molecule/basis end to end here: host fp64
+SCF/DF integrals (own McMurchie-Davidson engine), then the fp32
+ovvv-free DF-CCSD solve on the chip, and separately the (T) correction.
+It reports the CCSD-solve wall (the number the reference table records —
+its 477 s excludes SCF, which it lists separately at 5.76 s) plus the
+end-to-end wall, and certifies the fp32 energy with one host fp64
+Lagrangian evaluation when --certify is given.
+
+Usage:  python examples/benzene_chip.py [--certify] [--triples]
+"""
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+
+# benzene, experimental r(CC)=1.392 A, r(CH)=1.086 A, D6h
+BENZENE = """
+C    0.000000    1.392000    0.000000
+C    1.205508    0.696000    0.000000
+C    1.205508   -0.696000    0.000000
+C    0.000000   -1.392000    0.000000
+C   -1.205508   -0.696000    0.000000
+C   -1.205508    0.696000    0.000000
+H    0.000000    2.478000    0.000000
+H    2.146012    1.239000    0.000000
+H    2.146012   -1.239000    0.000000
+H    0.000000   -2.478000    0.000000
+H   -2.146012   -1.239000    0.000000
+H   -2.146012    1.239000    0.000000
+"""
+
+REFERENCE_CCSD_SEC = 477.0
+
+
+SCF_CACHE = os.path.join(_HERE, "..", ".scratch", "benzene_scf.npz")
+
+
+def run_scf():
+    """Host fp64 DF-RHF; cache mo/fock/B so the chip stage can restart
+    without redoing the one-core SCF (same pattern as w8_parity_certify)."""
+    import numpy as np
+    from pyscf_mpcc_tpu import gto
+    from pyscf_mpcc_tpu.scf import RHF
+
+    mol = gto.M(atom=BENZENE, basis="cc-pvtz", unit="angstrom")
+    mf = RHF(mol).density_fit()
+    mf.conv_tol = 1e-10
+    mf.kernel()
+    assert mf.converged
+    os.makedirs(os.path.dirname(SCF_CACHE), exist_ok=True)
+    np.savez(SCF_CACHE, mo=np.asarray(mf.mo_coeff),
+             fock=np.asarray(mf.get_fock(mf.make_rdm1())),
+             B=np.asarray(mf.with_df.B_ao()), e_scf=mf.e_tot,
+             nelectron=mol.nelectron)
+    return float(mf.e_tot), mol.nelectron
+
+
+def main():
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+    from pyscf_mpcc_tpu.cc import ccsd_t, eris as eris_mod, lambda_ad, rccsd
+    from pyscf_mpcc_tpu.lib import memory as _mem
+
+    t_all = time.time()
+    if os.path.exists(SCF_CACHE):
+        z = np.load(SCF_CACHE)
+        e_scf, nelectron = float(z["e_scf"]), int(z["nelectron"])
+        mo, fock, B = z["mo"], z["fock"], z["B"]
+        print(f"[{time.time()-t_all:7.1f}s] SCF reused: E = {e_scf:.10f}",
+              flush=True)
+    else:
+        e_scf, nelectron = run_scf()
+        z = np.load(SCF_CACHE)
+        mo, fock, B = z["mo"], z["fock"], z["B"]
+    t_scf = time.time() - t_all
+    print(f"[{t_scf:7.1f}s] E(DF-RHF) = {e_scf:.10f}", flush=True)
+
+    nocc = nelectron // 2              # all-electron, like the reference row
+
+    t0 = time.time()
+    er = eris_mod.make_eris_df(B, mo, fock, nocc, dtype=jnp.float32,
+                               keep_ovvv=False)
+    nvir = er.Lvv.shape[1]
+
+    # DF-MP2 on the chip (reference row: benzene/cc-pVTZ MP2 = 4.66 s on
+    # the same 16-core Xeon, doc_legacy/source/benchmark.rst)
+    from pyscf_mpcc_tpu.mp import mp2 as mp2_mod
+    t_mp2 = time.time()
+    e_mp2, _ = mp2_mod.df_kernel(er.mo_energy[:nocc], er.mo_energy[nocc:],
+                                 er.Lov)
+    e_mp2 = float(e_mp2)
+    t_mp2 = time.time() - t_mp2
+    print(f"[{time.time()-t_all:7.1f}s] fp32 E_corr(MP2) = {e_mp2:.10f} "
+          f"({t_mp2:.2f}s incl. compile; reference CPU: 4.66s)", flush=True)
+    ntile = _mem.plan_ladder_ntile(nocc, nvir, er.Lvv.shape[0])
+    conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-8, conv_tol_normt=1e-6,
+                                     max_cycle=60, ntile=ntile, verbose=4)
+    t_ccsd = time.time() - t0
+    print(f"[{time.time()-t_all:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
+          f"converged={conv}  CCSD wall = {t_ccsd:.1f}s "
+          f"(reference 16-core CPU: {REFERENCE_CCSD_SEC}s)", flush=True)
+
+    out = dict(system="benzene/cc-pVTZ all-electron DF-RCCSD",
+               nocc=nocc, nvir=int(nvir),
+               e_scf=e_scf, e_corr_fp32=float(e32),
+               converged=bool(conv),
+               e_corr_mp2_fp32=e_mp2,
+               mp2_sec=round(t_mp2, 2), reference_mp2_sec=4.66,
+               ccsd_solve_sec=round(t_ccsd, 1),
+               scf_plus_integrals_sec=round(t_scf, 1),
+               reference_ccsd_sec=REFERENCE_CCSD_SEC,
+               speedup_vs_reference=round(REFERENCE_CCSD_SEC / t_ccsd, 1),
+               device=str(jax.devices()[0]))
+
+    if "--triples" in sys.argv:
+        t0 = time.time()
+        et = ccsd_t.kernel(t1, t2, er, tile=0)
+        out["e_t_fp32"] = float(et)
+        out["triples_sec"] = round(time.time() - t0, 1)
+        print(f"[{time.time()-t_all:7.1f}s] E(T) = {et:.10f} "
+              f"({out['triples_sec']}s)", flush=True)
+
+    if "--certify" in sys.argv:
+        # fp64 Lagrangian certification (docs/PARITY.md protocol)
+        t0 = time.time()
+        cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6,
+                                      max_cycle=60, verbose=4)
+        np.savez(os.path.join(_HERE, "..", ".scratch", "benzene_amps.npz"),
+                 t1=np.asarray(t1), t2=np.asarray(t2),
+                 l1=np.asarray(l1), l2=np.asarray(l2))
+        import subprocess
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage64"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        sys.stdout.write(r.stdout)
+        for line in r.stdout.splitlines():
+            if line.startswith("E_LAGR64 "):
+                e_l = float(line.split()[1])
+                out["e_corr_fp64_lagrangian"] = e_l
+                out["fp32_raw_dE"] = abs(float(e32) - e_l)
+        out["lambda_plus_certify_sec"] = round(time.time() - t0, 1)
+
+    out["total_wall_sec"] = round(time.time() - t_all, 1)
+    print("BENZENE " + json.dumps(out), flush=True)
+
+
+def stage64():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+    from pyscf_mpcc_tpu.cc import eris as eris_mod, lambda_ad
+
+    z = np.load(SCF_CACHE)
+    nocc = int(z["nelectron"]) // 2
+    er = eris_mod.make_eris_df(z["B"], z["mo"], z["fock"],
+                               nocc, keep_ovvv=False)
+    a = np.load(os.path.join(_HERE, "..", ".scratch", "benzene_amps.npz"))
+    e_l = float(lambda_ad.lagrangian_energy(
+        jnp.asarray(a["t1"], jnp.float64), jnp.asarray(a["t2"], jnp.float64),
+        jnp.asarray(a["l1"], jnp.float64), jnp.asarray(a["l2"], jnp.float64),
+        er))
+    print(f"E_LAGR64 {e_l:.12f}", flush=True)
+
+
+if __name__ == "__main__":
+    if "--stage64" in sys.argv:
+        stage64()
+    elif "--scf-only" in sys.argv:
+        print("E(DF-RHF) = %.10f" % run_scf()[0], flush=True)
+    else:
+        main()
