@@ -10,8 +10,14 @@ pyscf/cc/ccsd_t.py:34 driving lib/cc/ccsd_t.c:378, whose OpenMP
 (a,b,c)-triple loop this replaces with an MXU tile scan + Pallas
 permutation epilogue).
 
-Usage:  python examples/w8_triples_chip.py [engine] [tile]
+Usage:  python examples/w8_triples_chip.py [engine] [tile] [precision]
         engine in {fused3, fused2, fused, xla}; default fused3
+        precision in {default, high, highest}; default high
+
+Precision: the W-building dots run on the MXU, whose native multiply is
+bf16.  A one-shot energy has no iteration to clean rounding, so the
+production number uses 'high' (bf16x3 passes, ~fp32-quality products);
+'highest' (6-pass) is the cross-check — docs/PARITY.md records both.
 """
 
 import json
@@ -36,6 +42,9 @@ FROZEN = 8
 def main():
     engine = sys.argv[1] if len(sys.argv) > 1 else "fused3"
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    precision = sys.argv[3] if len(sys.argv) > 3 else "high"
+    if precision != "default":
+        jax.config.update("jax_default_matmul_precision", precision)
 
     t0 = time.time()
     z = np.load(os.path.join(SCRATCH, "scf.npz"))
@@ -53,7 +62,8 @@ def main():
     et = ccsd_t.kernel(t1, t2, er, tile=tile, engine=engine)
     wall = time.time() - t_start
     out = dict(system="(H2O)8/cc-pVTZ frozen-core", engine=engine,
-               tile=tile, e_ccsd_corr=float(a["e32"]), e_t=float(et),
+               tile=tile, precision=precision,
+               e_ccsd_corr=float(a["e32"]), e_t=float(et),
                wall_T_sec=round(wall, 1), device=str(jax.devices()[0]))
     print("W8TRIPLES " + json.dumps(out), flush=True)
 
