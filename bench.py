@@ -204,11 +204,29 @@ def run_triples(cfg):
                            probe_sec=round(dt, 3),
                            energy_finite=bool(np.isfinite(e)))
     bt = tried[best]
-    return dict(tflops=bt["tflops"],
-                est_full_sec=bt["probe_sec"] / nprobe * ntiles,
-                ntiles=ntiles, probe_sec=bt["probe_sec"],
-                energy_finite=bt["energy_finite"], engine=best,
-                engines_tried=tried)
+    out = dict(tflops=bt["tflops"],
+               est_full_sec=bt["probe_sec"] / nprobe * ntiles,
+               ntiles=ntiles, probe_sec=bt["probe_sec"],
+               energy_finite=bt["energy_finite"], engine=best,
+               precision="default", engines_tried=tried)
+    # production (T) energies need true-fp32 matmuls (a one-shot energy
+    # has no iteration to clean bf16 rounding; Mosaic lowers only
+    # DEFAULT/HIGHEST for in-kernel dots) — record that speed too
+    try:
+        jax.config.update("jax_default_matmul_precision", "highest")
+        e = M.kernel(t1, t2, eris, tile=tile, engine=best,
+                     tiles_per_call=nprobe)
+        t0 = _time.perf_counter()
+        e = M.kernel(t1, t2, eris, tile=tile, engine=best,
+                     tiles_per_call=nprobe)
+        dt = _time.perf_counter() - t0
+        out["precision_highest"] = dict(
+            tflops=round(fpt * nprobe / dt / 1e12, 2),
+            est_full_sec=round(dt / nprobe * ntiles, 1),
+            energy_finite=bool(np.isfinite(e)))
+    except Exception as ex:
+        out["precision_highest"] = dict(error=f"{type(ex).__name__}")
+    return out
 
 
 def _device_alive(timeout=45):
@@ -321,6 +339,8 @@ def main():
                 # 'fused2'/'fused' = a Pallas combine kernel ran; 'xla' =
                 # both failed to compile and this measures the fallback
                 "engine": t.get("engine", "unknown"),
+                "precision": t.get("precision", "default"),
+                "precision_highest": t.get("precision_highest"),
                 "engines_tried": t.get("engines_tried", {}),
             }
             enriched = True

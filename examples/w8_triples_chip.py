@@ -10,14 +10,21 @@ pyscf/cc/ccsd_t.py:34 driving lib/cc/ccsd_t.c:378, whose OpenMP
 (a,b,c)-triple loop this replaces with an MXU tile scan + Pallas
 permutation epilogue).
 
-Usage:  python examples/w8_triples_chip.py [engine] [tile] [precision]
-        engine in {fused3, fused2, fused, xla}; default fused3
-        precision in {default, high, highest}; default high
+Usage:  python examples/w8_triples_chip.py [runs] [tile]
+        runs: comma list of engine:precision combos, e.g.
+              "fused3:highest,fused3:default,fused:highest"
+              (default "fused3:highest"); engine in {fused3, fused2,
+              fused, xla}, precision in {default, highest}
+        One process runs every combo — the eris build over the dev
+        tunnel (~10 min) is paid once.
 
 Precision: the W-building dots run on the MXU, whose native multiply is
 bf16.  A one-shot energy has no iteration to clean rounding, so the
-production number uses 'high' (bf16x3 passes, ~fp32-quality products);
-'highest' (6-pass) is the cross-check — docs/PARITY.md records both.
+production number uses 'highest' (true-fp32 contract precision); note
+Mosaic lowers only DEFAULT and HIGHEST for in-kernel dots ('high'
+raises at trace time).  Running both 'highest' and 'default' in one
+invocation measures the precision cost AND certifies how much the
+cheap-precision energy deviates.  docs/PARITY.md records the results.
 """
 
 import json
@@ -40,11 +47,8 @@ FROZEN = 8
 
 
 def main():
-    engine = sys.argv[1] if len(sys.argv) > 1 else "fused3"
+    runs = (sys.argv[1] if len(sys.argv) > 1 else "fused3:highest").split(",")
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    precision = sys.argv[3] if len(sys.argv) > 3 else "high"
-    if precision != "default":
-        jax.config.update("jax_default_matmul_precision", precision)
 
     t0 = time.time()
     z = np.load(os.path.join(SCRATCH, "scf.npz"))
@@ -58,14 +62,25 @@ def main():
     t2 = jnp.asarray(a["t2"], jnp.float32)
     print(f"[{time.time()-t0:7.1f}s] amps loaded: E_corr(CCSD) = "
           f"{float(a['e32']):.10f}", flush=True)
-    t_start = time.time()
-    et = ccsd_t.kernel(t1, t2, er, tile=tile, engine=engine)
-    wall = time.time() - t_start
-    out = dict(system="(H2O)8/cc-pVTZ frozen-core", engine=engine,
-               tile=tile, precision=precision,
-               e_ccsd_corr=float(a["e32"]), e_t=float(et),
-               wall_T_sec=round(wall, 1), device=str(jax.devices()[0]))
-    print("W8TRIPLES " + json.dumps(out), flush=True)
+    for spec in runs:
+        engine, _, precision = spec.partition(":")
+        precision = precision or "highest"
+        jax.config.update("jax_default_matmul_precision",
+                          None if precision == "default" else precision)
+        t_start = time.time()
+        try:
+            et = ccsd_t.kernel(t1, t2, er, tile=tile, engine=engine)
+        except Exception as ex:
+            print("W8TRIPLES " + json.dumps(dict(
+                engine=engine, precision=precision,
+                error=f"{type(ex).__name__}")), flush=True)
+            continue
+        wall = time.time() - t_start
+        out = dict(system="(H2O)8/cc-pVTZ frozen-core", engine=engine,
+                   tile=tile, precision=precision,
+                   e_ccsd_corr=float(a["e32"]), e_t=float(et),
+                   wall_T_sec=round(wall, 1), device=str(jax.devices()[0]))
+        print("W8TRIPLES " + json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -629,7 +629,11 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                                                 tuple(np.sort(act_particle))),
                  ovvv is None,
                  None if Lov is None else Lov.shape[0],
-                 jax.default_backend())
+                 jax.default_backend(),
+                 # precision enters the traced dots (MXU pass count); a
+                 # cache hit across a config flip would return the stale
+                 # executable
+                 str(jax.config.jax_default_matmul_precision))
     scan_chunk = _SCAN_CACHE.get(cache_key)
     if scan_chunk is None:
         scan_chunk = jax.jit(

@@ -451,31 +451,32 @@ def tile_energy_fused_v2(wsum, vterm, w_raw, vooo4_t, t2p, eijk, gabc, evt,
 # logical bytes; (b) the kernel's ~12 small per-grid-step refs each pay
 # fixed DMA latency 64 times per tile.  v3 removes both:
 #
-#   * ONE big streamed operand: the canonical W1 sum over ALL SIX perms,
-#     kept PAIR-FUSED as (ta,tb,tc,i,(j k)) — minor dim o^2 >= 128, full
-#     lane width in HBM and on the wire.  The two p[0]==1 perms that have
-#     no fused-view transpose are folded in by XLA as 6D relayouts (once,
-#     at full write bandwidth) instead of being re-read by the kernel at
-#     4x padding every step.
+#   * ONE big streamed operand: the canonical W1 sum over ALL SIX perms.
+#     The six emit arrays are summed by XLA at full lane width on their
+#     pair-fused 5D views; the kernel reads one 6D array per (A, B) step
+#     instead of six (v1) — 6x less streamed W traffic.  (The ideal of
+#     streaming the PAIR-FUSED form all the way into the kernel is
+#     blocked: Mosaic rejects the value-level minor split
+#     (o, o*o) -> (o, o, o) — see the mosaic micro-probes — so the
+#     handoff reshape pays one relayout write in XLA.)
 #   * The V term moves back INTO the kernel (v1-style): its operands are
 #     a few MB per tile, so computing V on the VPU is far cheaper than
 #     round-tripping a 67 MB (x4 padded) vterm array through HBM.
 #   * Every small operand is passed WHOLE with a constant index map:
 #     Pallas fetches it once and keeps it resident across the (T, T)
-#     grid; the kernel addresses (A, B) cells with dynamic_index_in_dim
-#     on leading/sublane dims (supported relayout-free by Mosaic).
-#
-# The one Mosaic-sensitive op is the per-cell minor split
-# (o, o*o) -> (o, o, o) of the streamed W1 block — a lane->sublane
-# relayout, the same cost class as the lane-crossing transposes the Z
-# combine already uses.
+#     grid; the kernel addresses (A, B) cells with pl.ds REF loads on
+#     major dims (value-level dynamic_slice does not lower).
 W1_CANON_FUSE2 = {p: W1_CANON[p] for p in W1_RAW2}
 
 
 def canonical_w1_sum6(w_list, T, o):
-    """Canonical pair-fused (ta,tb,tc,i,(j k)) sum of all six emit_w_dot
-    outputs: four at full lane width on the 5D pair-fused views, two via
-    one 6D relayout transpose each (XLA, write-bandwidth bound)."""
+    """Canonical (ta,tb,tc,i,j,k) sum of all six emit_w_dot outputs.
+
+    The SUM runs at full lane width on the pair-fused 5D views (four
+    perms by cheap fused-view transposes, two by one 6D relayout each);
+    only the final handoff reshape to 6D pays the minor-split relayout —
+    the kernel cannot split the fused minor itself (Mosaic rejects
+    value-level (o, o*o) -> (o, o, o); see the mosaic micro-probes)."""
     acc = None
     for p, w in zip(PERMS, w_list):
         ax5 = W1_FUSED4.get(p)
@@ -485,7 +486,7 @@ def canonical_w1_sum6(w_list, T, o):
         else:
             wt = jnp.transpose(w, W1_CANON[p]).reshape(T, T, T, o, o * o)
         acc = wt if acc is None else acc + wt
-    return acc
+    return acc.reshape(T, T, T, o, o, o)
 
 
 def _combine_kernel_v3(o, T, act_mode, dtype, refs):
@@ -495,50 +496,48 @@ def _combine_kernel_v3(o, T, act_mode, dtype, refs):
     A = pl.program_id(0)
     B = pl.program_id(1)
     etot = jnp.zeros((), dtype)
-    wsum = wsum_ref[...]            # (T, o, o*o) streamed (A, B) column
-    va = va_ref[...]                # (2, 3, T, o, o*o) resident
-    t2p = t2p_ref[...]              # (3, 3, T, T, o, o) resident
-    oovv = oovv_ref[...]            # (3, 3, T, T, o, o) resident
-    t1r = t1r_ref[...]              # (3, T, 1, o)
-    fvor = fvor_ref[...]
-    t1c = t1c_ref[...]              # (3, T, o, 1)
-    fvoc = fvoc_ref[...]
+    wsum = wsum_ref[...]            # (T, o, o, o) streamed (A, B) column
     eijkv = eijk_ref[...]
     actoccv = actocc_ref[...] if act_mode is not None else None
 
     def _ridx(r, c):
         return A if r == 0 else (B if r == 1 else c)
 
-    def _pair(val, r1, r2, c):
-        # (o, o) cell of a resident (3, 3, T, T, o, o) pair array
-        blk = val[r1, r2]
-        blk = jax.lax.dynamic_index_in_dim(blk, _ridx(r1, c), 0, False)
-        return jax.lax.dynamic_index_in_dim(blk, _ridx(r2, c), 0, False)
+    # Dynamic (A, B)-cell addressing stays at the REF level: Mosaic has no
+    # value-level dynamic_slice, but pl.ds loads on major dims lower fine;
+    # the singleton dims are squeezed statically.
+    def _pair(ref, r1, r2, c):
+        # (o, o) cell of a resident (3, 3, T, T, o, o) pair ref
+        blk = ref[r1, r2, pl.ds(_ridx(r1, c), 1), pl.ds(_ridx(r2, c), 1)]
+        return blk[0, 0]
 
-    def _occ(val, r, c):
-        return jax.lax.dynamic_index_in_dim(val[r], _ridx(r, c), 0, False)
+    def _occ(ref, r, c):
+        # (x, y) cell of a resident (3, T, x, y) ref
+        return ref[r, pl.ds(_ridx(r, c), 1)][0]
 
     for c in range(T):
-        # ---- W1 (all six perms, pre-summed): minor split to (o, o, o)
-        accW = wsum[c].reshape(o, o, o)
+        # ---- W1 (all six perms, pre-summed in XLA on canonical axes)
+        accW = wsum[c]
         # ---- subtract the six w2 dots; build V in-register
         accV = jnp.zeros((o, o, o), dtype)
         for p in PERMS:
             xi, yi, zi = p
             plan = W2_PLAN[p]
-            vab = _occ(va[0 if plan["pair"] == "ij" else 1], xi, c)
-            t2mk = _pair(t2p, zi, yi, c)
-            # w2[(i,j), k'] = sum_m va[m, (i,j)] t2[m, k']
+            vab = va_ref[0 if plan["pair"] == "ij" else 1, xi,
+                         pl.ds(_ridx(xi, c), 1)][0]
+            t2mk = _pair(t2p_ref, zi, yi, c)
+            # w2[(i,j), k'] = sum_m va[(i,j), m] t2[m, k']; the (o*o, o)
+            # output splits on a MAJOR dim (v2-proven under Mosaic)
             w2 = jax.lax.dot_general(
-                vab, t2mk, (((0,), (0,)), ((), ())),
+                vab, t2mk, (((1,), (0,)), ((), ())),
                 preferred_element_type=dtype).reshape(o, o, o)
             if plan["post"] is not None:
                 w2 = jnp.transpose(w2, plan["post"])
             accW = accW - w2
             # V term, canonical placement (same algebra as the v1 kernel)
             inv = (p.index(0), p.index(1), p.index(2))
-            oovv_ij = _pair(oovv, xi, yi, c)
-            t2ij = _pair(t2p, yi, xi, c)
+            oovv_ij = _pair(oovv_ref, xi, yi, c)
+            t2ij = _pair(t2p_ref, yi, xi, c)
             pos = (inv.index(0), inv.index(1), inv.index(2))
             if pos[0] < pos[1]:
                 a = jnp.expand_dims(oovv_ij, axis=pos[2])
@@ -547,14 +546,14 @@ def _combine_kernel_v3(o, T, act_mode, dtype, refs):
                 a = jnp.expand_dims(oovv_ij.T, axis=pos[2])
                 cc = jnp.expand_dims(t2ij.T, axis=pos[2])
             if pos[2] == 2:
-                b = _occ(t1r, zi, c)[0, :][None, None, :]
-                d = _occ(fvor, zi, c)[0, :][None, None, :]
+                b = _occ(t1r_ref, zi, c)[0, :][None, None, :]
+                d = _occ(fvor_ref, zi, c)[0, :][None, None, :]
             elif pos[2] == 1:
-                b = jnp.expand_dims(_occ(t1c, zi, c), 0)
-                d = jnp.expand_dims(_occ(fvoc, zi, c), 0)
+                b = jnp.expand_dims(_occ(t1c_ref, zi, c), 0)
+                d = jnp.expand_dims(_occ(fvoc_ref, zi, c), 0)
             else:
-                b = jnp.expand_dims(_occ(t1c, zi, c), 2)
-                d = jnp.expand_dims(_occ(fvoc, zi, c), 2)
+                b = jnp.expand_dims(_occ(t1c_ref, zi, c), 2)
+                d = jnp.expand_dims(_occ(fvoc_ref, zi, c), 2)
             accV = accV + 0.5 * (a * b + cc * d)
         V = accV + accW
         Z = (4.0 * V
@@ -600,7 +599,7 @@ def tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
     """v3 tile energy: one pair-fused streamed W1 operand, resident small
     operands, in-kernel V term.  See the design note above.
 
-    wsum:    (T, T, T, o, o*o) canonical pair-fused W1 sum (all 6 perms)
+    wsum:    (T, T, T, o, o, o) canonical W1 sum (all 6 perms)
     vooo4_t: (3, T, o, o, o)  [a, i, j, m] blocks at the tile starts
     t2p:     (3, 3, T, T, o, o);  oovv_t: (3, 3, T, T, o, o)
     t1_t/fvo_t: (3, T, 1, o);  t1c_t/fvoc_t: (3, T, o, 1)
@@ -608,18 +607,19 @@ def tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
     T = wsum.shape[0]
     o = t2p.shape[-1]
     dtype = wsum.dtype
-    # both vooo pair layouts, minor pair-fused: va[l, r, t, m, (i j)]
+    # both vooo pair layouts, m minor: va[l, r, t, (i j), m] (the v2-proven
+    # in-kernel dot orientation)
     va = jnp.stack([
-        vooo4_t.transpose(0, 1, 4, 2, 3).reshape(3, T, o, o * o),
-        vooo4_t.transpose(0, 1, 4, 3, 2).reshape(3, T, o, o * o)])
+        vooo4_t.reshape(3, T, o * o, o),
+        vooo4_t.transpose(0, 1, 3, 2, 4).reshape(3, T, o * o, o)])
 
     def full(shape):
         return pl.BlockSpec(shape, lambda A, B: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    wcol = pl.BlockSpec((None, None, T, o, o * o),
-                        lambda A, B: (A, B, 0, 0, 0),
+    wcol = pl.BlockSpec((None, None, T, o, o, o),
+                        lambda A, B: (A, B, 0, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     in_specs = [smem, smem, smem, wcol,
                 full(va.shape), full(t2p.shape), full(oovv_t.shape),
