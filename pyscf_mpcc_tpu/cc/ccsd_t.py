@@ -39,7 +39,7 @@ _SCAN_CACHE = {}
 
 def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
            act_hole=None, act_particle=None, mode="exclude_active",
-           mesh=None, engine="auto"):
+           mesh=None, engine="auto", dot_precision=None):
     """E(T) from converged (t1, t2) and an RERIs container (DF or full).
 
     Requires Lov/Lvv when ovvv is absent; ovoo/ovov/fock always.
@@ -57,10 +57,21 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     production TPU path, ~10x less HBM traffic per tile.  'auto' picks
     'fused' on TPU backends and 'xla' elsewhere (the Pallas kernel runs
     in interpret mode off-TPU, which is test-only speed).
+
+    dot_precision: per-dot precision for the XLA-side W contractions
+    ('high' = bf16x3, 'highest' = true fp32), independent of the global
+    jax_default_matmul_precision.  When set, the small in-kernel w2 dots
+    run at HIGHEST (Mosaic lowers only DEFAULT/HIGHEST).  A one-shot (T)
+    energy has no iteration to clean single-pass-bf16 rounding, so
+    production runs need 'high' or 'highest' here (or the global flag).
     """
     nocc, nvir = t1.shape
     if dtype is None:
         dtype = t2.dtype
+    if isinstance(dot_precision, str):
+        dot_precision = jax.lax.Precision(dot_precision.upper())
+    prec = dot_precision
+    kprec = None if prec is None else jax.lax.Precision.HIGHEST
     if not tile:
         # HBM governor sizes the tile edge (reference counterpart: the
         # max_memory-driven blksize of ccsd_t.c's caller, misc.py:113)
@@ -184,7 +195,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             lv = jax.lax.dynamic_slice(Lvv, (zi32, zi32, y0),
                                        (Lvv.shape[0], nvp, T))
             return jnp.einsum("Lix,Lfy->xyif", lo, lv,
-                              preferred_element_type=dtype)
+                              preferred_element_type=dtype,
+                              precision=prec)
 
         return _tile_energy_body(ov_block, t2T, vooo, oovv_r, t1p, fvo_p,
                                  ev_p, eo, act_occ, act_vir)
@@ -212,7 +224,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             xi, yi, zi = p
             # w1[x,y,z,i,(j,k)] = sum_f ov[x,y,i,f] t2T[z,f,(j,k)]
             w = jnp.einsum("xyif,zfm->xyzim", ovb[(xi, yi)], t2T_s[zi],
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype, precision=prec)
             w = w.reshape(T, T, T, o, o, o)
             # w2[x,y,z,i,j,k] = sum_m vooo[x,i,(j,m)] t2[k,m,z,y];
             # t2[k,m,z,y] = t2T[z,y,(m,k)] (t2T pair axis is (j',k')=(m,k))
@@ -221,7 +233,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             ).reshape(T, T, o, o)
             w -= jnp.einsum("xijm,zymk->xyzijk",
                             vooo_s[xi].reshape(T, o, o, o), t2zy,
-                            preferred_element_type=dtype)
+                            preferred_element_type=dtype, precision=prec)
             # v[x,y,z,i,j,k] = (ix|jy) t1[k,z]/2 + t2T[y,x,i,j] fvo[z,k]/2
             oovv_xy = jax.lax.dynamic_slice(
                 oovv_r, (zi32, zi32, starts[xi], starts[yi]), (o, o, T, T))
@@ -332,7 +344,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 else:
                     ovb[(xi, yi)] = jnp.einsum(
                         "Lix,Lfy->xyif", lo[xi], lv[yi],
-                        preferred_element_type=dtype)
+                        preferred_element_type=dtype, precision=prec)
             t2T_sl = {("jk", r): jax.lax.dynamic_slice(
                 t2T, (s, zi32, zi32), (T, nvp, oo))
                 for r, s in enumerate(starts)}
@@ -341,7 +353,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 for r, s in enumerate(starts)})
             w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
                                  t2T_sl[(W_PLAN[p]["t2"], p[2])],
-                                 dtype, T, o) for p in PERMS]
+                                 dtype, T, o, precision=prec)
+                      for p in PERMS]
             vooo_t = jnp.stack([jax.lax.dynamic_slice(
                 vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, oo, o)
                 for s in starts])
@@ -369,11 +382,13 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
                                       fvo_t, t1c_t, fvoc_t, eijk, gabc,
                                       evt, actv=actv, actocc=actocc3,
-                                      act_mode=mode, interpret=interpret)
+                                      act_mode=mode, interpret=interpret,
+                                      kern_precision=kprec)
             else:
                 e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
                                       fvo_t, t1c_t, fvoc_t, eijk, gabc,
-                                      evt, interpret=interpret)
+                                      evt, interpret=interpret,
+                                      kern_precision=kprec)
             return carry + e.astype(carry.dtype), e
 
         return tile_energy
@@ -426,7 +441,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 else:
                     ovb[(xi, yi)] = jnp.einsum(
                         "Lix,Lfy->xyif", lo[xi], lv[yi],
-                        preferred_element_type=dtype)
+                        preferred_element_type=dtype, precision=prec)
             t2T_sl = {("jk", r): jax.lax.dynamic_slice(
                 t2T, (s, zi32, zi32), (T, nvp, oo))
                 for r, s in enumerate(starts)}
@@ -435,7 +450,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 for r, s in enumerate(starts)})
             w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
                                  t2T_sl[(W_PLAN[p]["t2"], p[2])],
-                                 dtype, T, o) for p in PERMS]
+                                 dtype, T, o, precision=prec)
+                      for p in PERMS]
             wsum = canonical_w1_sum4(w_list, T, o)
             w_raw = [w_list[PERMS.index(p)] for p in W1_RAW2]
             # V term EMITTED on canonical axes (einsum output labels carry
@@ -477,7 +493,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                     actocc=actocc3, act_mode=mode)
             e = tile_energy_fused_v2(wsum, vterm, w_raw, vooo4_t, t2p,
                                      eijk, gabc, evt, interpret=interpret,
-                                     **kw)
+                                     kern_precision=kprec, **kw)
             return carry + e.astype(carry.dtype), e
 
         return tile_energy
@@ -529,7 +545,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 else:
                     ovb[(xi, yi)] = jnp.einsum(
                         "Lix,Lfy->xyif", lo[xi], lv[yi],
-                        preferred_element_type=dtype)
+                        preferred_element_type=dtype, precision=prec)
             t2T_sl = {("jk", r): jax.lax.dynamic_slice(
                 t2T, (s, zi32, zi32), (T, nvp, oo))
                 for r, s in enumerate(starts)}
@@ -538,7 +554,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 for r, s in enumerate(starts)})
             w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
                                  t2T_sl[(W_PLAN[p]["t2"], p[2])],
-                                 dtype, T, o) for p in PERMS]
+                                 dtype, T, o, precision=prec)
+                      for p in PERMS]
             wsum = canonical_w1_sum6(w_list, T, o)
             vooo4_t = jnp.stack([jax.lax.dynamic_slice(
                 vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, o, o, o)
@@ -568,7 +585,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                     actocc=actocc3, act_mode=mode)
             e = tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t,
                                      fvo_t, t1c_t, fvoc_t, eijk, gabc,
-                                     evt, interpret=interpret, **kw)
+                                     evt, interpret=interpret,
+                                     kern_precision=kprec, **kw)
             return carry + e.astype(carry.dtype), e
 
         return tile_energy

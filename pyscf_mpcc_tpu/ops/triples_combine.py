@@ -75,7 +75,7 @@ def _w_cell(p, blk, c):
     return blk[c]                       # t2_first: (T, P1, P2, i)
 
 
-def _combine_kernel(o, T, act_mode, dtype, refs):
+def _combine_kernel(o, T, act_mode, dtype, kprec, refs):
     """Column kernel: one invocation per (A, B) pair processes all T
     C-cells (amortizes per-grid-cell dispatch, measured 2.3x on v5e vs
     the cell-grid variant at (H2O)8 scale)."""
@@ -120,7 +120,8 @@ def _combine_kernel(o, T, act_mode, dtype, refs):
             vb = voov[xi][c] if xi == 2 else voov[xi]
             w2b = jax.lax.dot_general(
                 vb, t2mk, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype).reshape(o, o, o)
+                preferred_element_type=dtype,
+                precision=kprec).reshape(o, o, o)
             accW = accW - jnp.transpose(w2b, inv)
             # v = ((i'x|j'y) t1[k',z] + t2[j',i'|y,x] fvo[z,k'])/2 placed
             # on canonical axes: source occupied d lands at inv.index(d)
@@ -188,7 +189,7 @@ def _combine_kernel(o, T, act_mode, dtype, refs):
         out_ref[0, 0] = out_ref[0, 0] + etot
 
 
-def _kernel_entry(o, T, act_mode, dtype, gabc, evt, actv, *rest):
+def _kernel_entry(o, T, act_mode, dtype, kprec, gabc, evt, actv, *rest):
     w = rest[0:6]
     vooo = rest[6:9]
     t2p = rest[9:15]
@@ -198,7 +199,7 @@ def _kernel_entry(o, T, act_mode, dtype, gabc, evt, actv, *rest):
     t1c = rest[27:30]
     fvoc = rest[30:33]
     eijk, actocc, out = rest[33], rest[34], rest[35]
-    _combine_kernel(o, T, act_mode, dtype,
+    _combine_kernel(o, T, act_mode, dtype, kprec,
                     (gabc, evt, actv, w, vooo, t2p, oovv, t1, fvo, t1c,
                      fvoc, eijk, actocc, out))
 
@@ -279,7 +280,7 @@ def canonical_w1_sum4(w_list, T, o):
     return acc.reshape(T, T, T, o, o, o)
 
 
-def _combine_kernel_v2(o, T, act_mode, dtype, refs):
+def _combine_kernel_v2(o, T, act_mode, dtype, kprec, refs):
     (gabc_ref, evt_ref, actv_ref, wsum_ref, vterm_ref, wraw_refs,
      va_ij0_ref, va_ij1_ref, va_ji1_ref, va_ji2_ref,
      t2p_refs, eijk_ref, actocc_ref, out_ref) = refs
@@ -316,7 +317,8 @@ def _combine_kernel_v2(o, T, act_mode, dtype, refs):
             t2mk = cell(t2pv[(zi, yi)], zi, yi, c)
             w2 = jax.lax.dot_general(
                 va, t2mk, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype).reshape(o, o, o)
+                preferred_element_type=dtype,
+                precision=kprec).reshape(o, o, o)
             if plan["post"] is not None:
                 w2 = jnp.transpose(w2, plan["post"])
             accW = accW - w2
@@ -358,12 +360,13 @@ def _combine_kernel_v2(o, T, act_mode, dtype, refs):
 _V2_T2P_PAIRS = tuple(sorted({(p[2], p[1]) for p in PERMS}))
 
 
-def _kernel_entry_v2(o, T, act_mode, dtype, gabc, evt, actv, wsum, vterm,
-                     wraw0, wraw1, va_ij0, va_ij1, va_ji1, va_ji2, *rest):
+def _kernel_entry_v2(o, T, act_mode, dtype, kprec, gabc, evt, actv, wsum,
+                     vterm, wraw0, wraw1, va_ij0, va_ij1, va_ji1, va_ji2,
+                     *rest):
     n = len(_V2_T2P_PAIRS)
     t2p_refs = dict(zip(_V2_T2P_PAIRS, rest[:n]))
     eijk, actocc, out = rest[n:]
-    _combine_kernel_v2(o, T, act_mode, dtype,
+    _combine_kernel_v2(o, T, act_mode, dtype, kprec,
                        (gabc, evt, actv, wsum, vterm, (wraw0, wraw1),
                         va_ij0, va_ij1, va_ji1, va_ji2, t2p_refs, eijk,
                         actocc, out))
@@ -371,7 +374,7 @@ def _kernel_entry_v2(o, T, act_mode, dtype, gabc, evt, actv, wsum, vterm,
 
 def tile_energy_fused_v2(wsum, vterm, w_raw, vooo4_t, t2p, eijk, gabc, evt,
                          actv=None, actocc=None, act_mode=None,
-                         interpret=False):
+                         interpret=False, kern_precision=None):
     """v2 tile energy: the fusable 4-perm W1 sum and the V term arrive
     precomputed in XLA canonical layout; the kernel adds the two raw
     p[0]==1 emit arrays (cheap per-cell slice + non-minor swap), does the
@@ -422,7 +425,8 @@ def tile_energy_fused_v2(wsum, vterm, w_raw, vooo4_t, t2p, eijk, gabc, evt,
         actv = jnp.zeros((3, T), dtype)
         actocc = jnp.zeros((o, o, o), dtype)
 
-    kernel = partial(_kernel_entry_v2, o, T, act_mode, dtype)
+    kernel = partial(_kernel_entry_v2, o, T, act_mode, dtype,
+                     kern_precision)
     extra = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))
@@ -489,7 +493,7 @@ def canonical_w1_sum6(w_list, T, o):
     return acc.reshape(T, T, T, o, o, o)
 
 
-def _combine_kernel_v3(o, T, act_mode, dtype, refs):
+def _combine_kernel_v3(o, T, act_mode, dtype, kprec, refs):
     (gabc_ref, evt_ref, actv_ref, wsum_ref, va_ref, t2p_ref, oovv_ref,
      t1r_ref, fvor_ref, t1c_ref, fvoc_ref, eijk_ref, actocc_ref,
      out_ref) = refs
@@ -530,7 +534,8 @@ def _combine_kernel_v3(o, T, act_mode, dtype, refs):
             # output splits on a MAJOR dim (v2-proven under Mosaic)
             w2 = jax.lax.dot_general(
                 vab, t2mk, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype).reshape(o, o, o)
+                preferred_element_type=dtype,
+                precision=kprec).reshape(o, o, o)
             if plan["post"] is not None:
                 w2 = jnp.transpose(w2, plan["post"])
             accW = accW - w2
@@ -589,13 +594,14 @@ def _combine_kernel_v3(o, T, act_mode, dtype, refs):
         out_ref[0, 0] = out_ref[0, 0] + etot
 
 
-def _kernel_entry_v3(o, T, act_mode, dtype, *refs):
-    _combine_kernel_v3(o, T, act_mode, dtype, refs)
+def _kernel_entry_v3(o, T, act_mode, dtype, kprec, *refs):
+    _combine_kernel_v3(o, T, act_mode, dtype, kprec, refs)
 
 
 def tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
                          fvoc_t, eijk, gabc, evt, actv=None, actocc=None,
-                         act_mode=None, interpret=False):
+                         act_mode=None, interpret=False,
+                         kern_precision=None):
     """v3 tile energy: one pair-fused streamed W1 operand, resident small
     operands, in-kernel V term.  See the design note above.
 
@@ -629,7 +635,8 @@ def tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
         actv = jnp.zeros((3, T), dtype)
         actocc = jnp.zeros((o, o, o), dtype)
 
-    kernel = partial(_kernel_entry_v3, o, T, act_mode, dtype)
+    kernel = partial(_kernel_entry_v3, o, T, act_mode, dtype,
+                     kern_precision)
     extra = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))
@@ -646,7 +653,7 @@ def tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
     return out[0, 0]
 
 
-def emit_w_dot(p, ovb, t2op, dtype, T, o):
+def emit_w_dot(p, ovb, t2op, dtype, T, o, precision=None):
     """The perm-p W1 dot in its canonical-emission form (see W_PLAN).
 
     ovb: (x, y, i', f) block; t2op: (z, f, pair) slice in the layout
@@ -655,10 +662,12 @@ def emit_w_dot(p, ovb, t2op, dtype, T, o):
     nvp = t2op.shape[1]
     if W_PLAN[p]["order"] == "ov_first":
         w = jax.lax.dot_general(ovb, t2op, (((3,), (1,)), ((), ())),
-                                preferred_element_type=dtype)
+                                preferred_element_type=dtype,
+                                precision=precision)
         return w.reshape(T, T, o, T, o, o)       # (x, y, i, z, P1, P2)
     w = jax.lax.dot_general(t2op, ovb, (((1,), (3,)), ((), ())),
-                            preferred_element_type=dtype)
+                            preferred_element_type=dtype,
+                            precision=precision)
     # (z,(P1 P2),x,y,i) -> (z,x,y,(P1 P2),i): the minor dim i stays
     # minor, so this transpose is a major-dim shuffle (cheap), then a
     # supported major split of the fused pair
@@ -692,7 +701,7 @@ def _wspec(p, o, T):
 
 def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
                       fvoc_t, eijk, gabc, evt, actv=None, actocc=None,
-                      act_mode=None, interpret=False):
+                      act_mode=None, interpret=False, kern_precision=None):
     """Tile energy from the six dot outputs + small per-tile slices.
 
     w_list:  6 arrays from emit_w_dot (canonical-emission layouts)
@@ -739,7 +748,7 @@ def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
         actv = jnp.zeros((3, T), dtype)
         actocc = jnp.zeros((o, o, o), dtype)
 
-    kernel = partial(_kernel_entry, o, T, act_mode, dtype)
+    kernel = partial(_kernel_entry, o, T, act_mode, dtype, kern_precision)
     extra = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))
