@@ -175,7 +175,10 @@ def run_triples(cfg):
            + 2 * 6 * naux * nocc * tile * nvp * tile)
     tried = {}
     best = None
-    for engine in cfg.get("engines", ["fused3", "fused2", "fused"]):
+    # fastest-first (measured 2026-08-18 on v5e at bench shape: fused
+    # 7.6 ms/tile, fused3 10.1, fused2 11.3) so the headline engine is
+    # recorded even if the budget cuts the probe short
+    for engine in cfg.get("engines", ["fused", "fused3", "fused2"]):
         try:
             e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
                          tiles_per_call=nprobe)      # compile + warm

@@ -65,11 +65,17 @@ def main():
     for spec in runs:
         engine, _, precision = spec.partition(":")
         precision = precision or "highest"
-        jax.config.update("jax_default_matmul_precision",
-                          None if precision == "default" else precision)
+        # 'dot-high'/'dot-highest' use the per-dot kwarg (XLA-side W dots
+        # at that precision, in-kernel w2 dots at HIGHEST) instead of the
+        # global flag — the production sweet spot is 'dot-high' (bf16x3)
+        dot_prec = precision[4:] if precision.startswith("dot-") else None
+        jax.config.update(
+            "jax_default_matmul_precision",
+            None if (dot_prec or precision == "default") else precision)
         t_start = time.time()
         try:
-            et = ccsd_t.kernel(t1, t2, er, tile=tile, engine=engine)
+            et = ccsd_t.kernel(t1, t2, er, tile=tile, engine=engine,
+                               dot_precision=dot_prec)
         except Exception as ex:
             print("W8TRIPLES " + json.dumps(dict(
                 engine=engine, precision=precision,

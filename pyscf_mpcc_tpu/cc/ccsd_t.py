@@ -69,7 +69,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     if dtype is None:
         dtype = t2.dtype
     if isinstance(dot_precision, str):
-        dot_precision = jax.lax.Precision(dot_precision.upper())
+        dot_precision = jax.lax.Precision[dot_precision.upper()]
     prec = dot_precision
     kprec = None if prec is None else jax.lax.Precision.HIGHEST
     if not tile:
