@@ -258,8 +258,7 @@ class UCCSDDriver(StreamObject):
             fb = h + j[0] + j[1] - k[1]
         f = self.frozen
         if getattr(self._scf, "with_df", None) is not None:
-            from pyscf_mpcc_tpu.cc import uccsd_df
-            self.eris = uccsd_df.make_eris_df(
+            self.eris = uccsd.make_eris_df(
                 self._scf.with_df.B_ao(), mo[0][:, f:], mo[1][:, f:],
                 fa, fb, self.nocc[0], self.nocc[1])
         else:

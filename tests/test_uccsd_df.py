@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from pyscf_mpcc_tpu import gto
-from pyscf_mpcc_tpu.cc import uccsd, uccsd_df
+from pyscf_mpcc_tpu.cc import uccsd
 from pyscf_mpcc_tpu.scf import RHF, UHF
 
 
@@ -46,11 +46,11 @@ def test_df_update_matches_materialized(case):
     fa, fb, moa, mob = _focks(mf)
     na, nb = mol.nelec
     ue = uccsd.make_eris_incore(eri, moa, mob, fa, fb, na, nb)
-    ud = uccsd_df.make_eris_df(B, moa, mob, fa, fb, na, nb)
+    ud = uccsd.make_eris_df(B, moa, mob, fa, fb, na, nb)
     _, t1, t2 = uccsd.init_amps(ue)
     for _ in range(2):
         a1, a2 = uccsd.update_amps(t1, t2, ue)
-        b1, b2 = uccsd_df.update_amps(t1, t2, ud, ntile=2)
+        b1, b2 = uccsd.update_amps(t1, t2, ud, ntile=2)
         for x, y in zip((*a1, *a2), (*b1, *b2)):
             assert float(jnp.abs(x - y).max()) < 1e-12
         t1, t2 = a1, a2
