@@ -132,12 +132,23 @@ def stage_fp32():
         # Lagrangian protocol is for: E_L error = O(|dt|^2) ~ 1e-8.
         cconv = float(os.environ.get("W8_CONV", "1e-6"))
         cnormt = float(os.environ.get("W8_NORMT", "1.5e-4"))
-        conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=cconv,
-                                         conv_tol_normt=cnormt,
-                                         max_cycle=80, ntile=ntile,
-                                         verbose=5,
-                                         diis_backend=diis_backend,
-                                         diis_space=diis_space)
+        # preemption safety (host ring only): spill the DIIS ring every
+        # cycle and resume from it — transient RESOURCE_EXHAUSTED on the
+        # shared tunnel worker must not cost the whole multi-hour stage
+        from pyscf_mpcc_tpu.lib.diis import DIIS as _DIIS
+        spill = os.path.join(SCRATCH, "ccsd_diis.npz")
+        adiis = (_DIIS.restore(spill)
+                 if diis_backend == "host" and os.path.exists(spill)
+                 else None)
+        if adiis is not None:
+            print(f"[{time.time()-t0:7.1f}s] resuming CCSD from DIIS spill "
+                  f"({len(adiis._xs)} vectors)", flush=True)
+        conv, e32, t1, t2 = rccsd.kernel(
+            er, conv_tol=cconv, conv_tol_normt=cnormt,
+            max_cycle=80, ntile=ntile, verbose=5,
+            diis_backend=diis_backend, diis_space=diis_space,
+            adiis=adiis,
+            diis_file=spill if diis_backend == "host" else None)
         print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
               f"converged={conv}", flush=True)
         assert conv
@@ -152,11 +163,20 @@ def stage_fp32():
     lspace = int(os.environ.get("W8_LAMBDA_DIIS_SPACE",
                                 str(max(2, diis_space - 1))))
     lbackend = os.environ.get("W8_LAMBDA_DIIS_BACKEND", diis_backend)
+    from pyscf_mpcc_tpu.lib.diis import DIIS as _DIIS
+    lspill = os.path.join(SCRATCH, "lambda_diis.npz")
+    ladiis = (_DIIS.restore(lspill)
+              if lbackend == "host" and os.path.exists(lspill) else None)
+    if ladiis is not None:
+        print(f"[{time.time()-t0:7.1f}s] resuming Lambda from DIIS spill "
+              f"({len(ladiis._xs)} vectors)", flush=True)
     cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=lconv,
                                   max_cycle=lmax,
                                   ntile=_lambda_ntile(nvir, ntile),
                                   verbose=5, diis_backend=lbackend,
-                                  diis_space=lspace)
+                                  diis_space=lspace, adiis=ladiis,
+                                  diis_file=lspill if lbackend == "host"
+                                  else None)
     print(f"[{time.time()-t0:7.1f}s] lambda converged={cl}", flush=True)
     np.savez(os.path.join(SCRATCH, "amps.npz"),
              t1=np.asarray(t1), t2=np.asarray(t2),

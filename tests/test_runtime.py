@@ -86,3 +86,35 @@ def test_ccsd_restart_from_diis_file(tmp_path):
     resumed.kernel()
     assert resumed.converged
     assert abs(resumed.e_corr - ref.e_corr) < 1e-9
+
+
+def test_lambda_restart_from_diis_file(tmp_path):
+    # Lambda solves get the same preemption-safety contract as CCSD:
+    # spill the host DIIS ring every cycle, resume from it, converge to
+    # the uninterrupted multipliers (production (H2O)8 protocol).
+    from pyscf_mpcc_tpu.cc import eris as eris_mod
+    from pyscf_mpcc_tpu.cc import lambda_ad, rccsd
+
+    mol = gto.M(atom="O 0 0 0.1173; H 0 0.7572 -0.4692; "
+                     "H 0 -0.7572 -0.4692",
+                basis="sto-3g", unit="angstrom")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    er = eris_mod.make_eris_incore(
+        gto.intor_eri(mol), mf.mo_coeff, mf.get_fock(mf.make_rdm1()),
+        mol.nelectron // 2)
+    _, _, t1, t2 = rccsd.kernel(er, conv_tol=1e-11, conv_tol_normt=1e-9)
+    _, l1_ref, l2_ref = lambda_ad.kernel(t1, t2, er, conv_tol=1e-10)
+
+    p = str(tmp_path / "lambda_diis.npz")
+    cl, _, _ = lambda_ad.kernel(t1, t2, er, conv_tol=1e-10, max_cycle=3,
+                                diis_file=p)
+    assert not cl and os.path.exists(p)
+    cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=1e-10,
+                                  adiis=DIIS.restore(p), diis_file=p)
+    assert cl
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l1_ref),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l2_ref),
+                               atol=1e-8)
