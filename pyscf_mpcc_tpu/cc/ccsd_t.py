@@ -102,9 +102,9 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # axis (nocc^2 >= 128) or the virtual axis last.
     if engine == "auto":
         engine = "fused" if jax.default_backend() == "tpu" else "xla"
-    if engine not in ("fused", "fused2", "fused3", "xla"):
+    if engine not in ("fused", "fused2", "fused3", "fused4", "xla"):
         raise ValueError(f"unknown (T) engine {engine!r}; use 'fused', "
-                         "'fused2', 'fused3', 'xla' or 'auto'")
+                         "'fused2', 'fused3', 'fused4', 'xla' or 'auto'")
 
     # t2T[c, f, (j,k)] = t2[k, j, c, f]
     t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
@@ -112,7 +112,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # vooo[a, i, (j,m)] = (ia|jm)
     vooo = padv(eris.ovoo.astype(dtype).transpose(1, 0, 2, 3), [0])
     vooo = vooo.reshape(vooo.shape[0], nocc, nocc * nocc)
-    if engine in ("fused", "fused2", "fused3"):
+    if engine in ("fused", "fused2", "fused3", "fused4"):
         # swapped-pair layout t2Ts[c, f, (k,j)] and tile-axes-leading
         # oovv_T[x, y, i, j] = (ix|jy) for canonical-emission dots
         t2Ts = padv(t2.astype(dtype).transpose(2, 3, 0, 1), [0, 1])
@@ -154,7 +154,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # remote compile at production scale.
     big_arrays = dict(t2T=t2T, vooo=vooo, t1p=t1p,
                       fvo_p=fvo_p, ev_p=ev_p, eo=eo)
-    if engine in ("fused", "fused2", "fused3"):
+    if engine in ("fused", "fused2", "fused3", "fused4"):
         big_arrays["t2Ts"] = t2Ts
         big_arrays["oovv_T"] = oovv_T
     else:
@@ -297,14 +297,19 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
       return tile_energy
 
-    def make_tile_energy_fused(big, interpret=False):
+    def make_tile_energy_fused(big, interpret=False, _v4=False):
         """Scan body using the Pallas permutation-epilogue kernel: six XLA
         dots emitted directly in canonical occupied order (two stored t2
         pair layouts + operand-order choice; ops/triples_combine.W_PLAN),
-        small per-tile slices, then tile_energy_fused for W/V/Z/energy."""
-        from pyscf_mpcc_tpu.ops.triples_combine import (PERMS, W_PLAN,
-                                                        emit_w_dot,
-                                                        tile_energy_fused)
+        small per-tile slices, then tile_energy_fused for W/V/Z/energy.
+
+        _v4=True pre-sums the six dots in XLA into the single
+        ((j,k)-fused, i) W stream and runs the b-basis kernel
+        (tile_energy_fused_v4) — 6x less streamed W traffic; see the v4
+        design note in ops/triples_combine.py."""
+        from pyscf_mpcc_tpu.ops.triples_combine import (
+            PERMS, W_PLAN, canonical_w1_sum6_5d, emit_w_dot,
+            tile_energy_fused, tile_energy_fused_v4)
         t2T = big["t2T"]
         t2Ts = big["t2Ts"]
         vooo = big["vooo"]
@@ -376,19 +381,19 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                              for s in starts])
             gabc = jnp.stack([s + jnp.arange(T, dtype=jnp.int32)
                               for s in starts])
-            if act_occ is not None:
-                actv = jnp.stack([jax.lax.dynamic_slice(
-                    act_vir, (s,), (T,)) for s in starts])
-                e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
-                                      fvo_t, t1c_t, fvoc_t, eijk, gabc,
-                                      evt, actv=actv, actocc=actocc3,
-                                      act_mode=mode, interpret=interpret,
-                                      kern_precision=kprec)
+            if _v4:
+                warg = [canonical_w1_sum6_5d(w_list, T, o)]
+                tile_e = tile_energy_fused_v4
             else:
-                e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
-                                      fvo_t, t1c_t, fvoc_t, eijk, gabc,
-                                      evt, interpret=interpret,
-                                      kern_precision=kprec)
+                warg = [w_list]
+                tile_e = tile_energy_fused
+            kw = dict(interpret=interpret, kern_precision=kprec)
+            if act_occ is not None:
+                kw.update(actv=jnp.stack([jax.lax.dynamic_slice(
+                    act_vir, (s,), (T,)) for s in starts]),
+                    actocc=actocc3, act_mode=mode)
+            e = tile_e(*warg, vooo_t, t2p, oovv_t, t1_t,
+                       fvo_t, t1c_t, fvoc_t, eijk, gabc, evt, **kw)
             return carry + e.astype(carry.dtype), e
 
         return tile_energy
@@ -591,11 +596,14 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
         return tile_energy
 
-    if engine in ("fused", "fused2", "fused3"):
+    if engine in ("fused", "fused2", "fused3", "fused4"):
         interp = jax.default_backend() != "tpu"
+        from functools import partial as _partial
         maker = {"fused": make_tile_energy_fused,
                  "fused2": make_tile_energy_fused2,
-                 "fused3": make_tile_energy_fused3}[engine]
+                 "fused3": make_tile_energy_fused3,
+                 "fused4": _partial(make_tile_energy_fused, _v4=True)
+                 }[engine]
 
         def tile_fn(big):
             return maker(big, interpret=interp)

@@ -75,16 +75,30 @@ def _w_cell(p, blk, c):
     return blk[c]                       # t2_first: (T, P1, P2, i)
 
 
+def _debug_skip():
+    """Timing-diagnostic only: TRIPLES_DEBUG_SKIP=w2,vterm,zperm,w1read
+    disables kernel sections so their cost can be measured additively.
+    Results are WRONG with any token set; never set in production."""
+    import os
+    v = os.environ.get("TRIPLES_DEBUG_SKIP", "")
+    return frozenset(t for t in v.split(",") if t)
+
+
 def _combine_kernel(o, T, act_mode, dtype, kprec, refs):
     """Column kernel: one invocation per (A, B) pair processes all T
     C-cells (amortizes per-grid-cell dispatch, measured 2.3x on v5e vs
     the cell-grid variant at (H2O)8 scale)."""
+    skip = _debug_skip()
     (gabc_ref, evt_ref, actv_ref, w_refs, vooo_refs, t2p_refs, oovv_refs,
      t1_refs, fvo_refs, t1c_refs, fvoc_refs, eijk_ref, actocc_ref,
      out_ref) = refs
     A = pl.program_id(0)
     B = pl.program_id(1)
-    etot = jnp.zeros((), dtype)
+    # VECTOR energy accumulator: per-cell scalar jnp.sum reductions
+    # serialize on the VPU (measured ~2.7 ms/tile for the 512 of them at
+    # bench shape); accumulate the weighted integrand in 3D and reduce
+    # ONCE per invocation instead
+    eacc = jnp.zeros((o, o, o), dtype)
     # one VMEM read per ref per invocation; cells slice the values
     wv = [w_refs[pi][...] for pi in range(6)]
     t2pv = [t2p_refs[k][...] for k in range(6)]
@@ -111,18 +125,25 @@ def _combine_kernel(o, T, act_mode, dtype, kprec, refs):
         accW = jnp.zeros((o, o, o), dtype)
         for pi, p in enumerate(PERMS):
             accW = accW + _w_cell(p, wv[pi], c)
+            if "w1read" in skip:
+                break
         # ---- W2 (vooo . t2) and the V term in canonical orientation
         accV = jnp.zeros((o, o, o), dtype)
         for pi, p in enumerate(PERMS):
+            if "w2" in skip and "vterm" in skip:
+                break
             xi, yi, zi = p
             inv = (p.index(0), p.index(1), p.index(2))
-            t2mk = pair_cell(t2pv, zi, yi, c)
-            vb = voov[xi][c] if xi == 2 else voov[xi]
-            w2b = jax.lax.dot_general(
-                vb, t2mk, (((1,), (0,)), ((), ())),
-                preferred_element_type=dtype,
-                precision=kprec).reshape(o, o, o)
-            accW = accW - jnp.transpose(w2b, inv)
+            if "w2" not in skip:
+                t2mk = pair_cell(t2pv, zi, yi, c)
+                vb = voov[xi][c] if xi == 2 else voov[xi]
+                w2b = jax.lax.dot_general(
+                    vb, t2mk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=dtype,
+                    precision=kprec).reshape(o, o, o)
+                accW = accW - jnp.transpose(w2b, inv)
+            if "vterm" in skip:
+                continue
             # v = ((i'x|j'y) t1[k',z] + t2[j',i'|y,x] fvo[z,k'])/2 placed
             # on canonical axes: source occupied d lands at inv.index(d)
             oovv_ij = pair_cell(oovvv, xi, yi, c)
@@ -165,19 +186,32 @@ def _combine_kernel(o, T, act_mode, dtype, kprec, refs):
         # V^(2,0,1) and V^(1,2,0) (swap of the two NON-minor dims — a
         # cheap sublane shuffle).  Bit-exact: same element values, same
         # summation order as the naive six-transpose form.
-        Vx = jnp.transpose(V, (1, 2, 0))    # V[j,k,i]   (lane-crossing)
-        Vy = jnp.transpose(V, (2, 0, 1))    # V[k,i,j]   (lane-crossing)
-        Z = (4.0 * V
-             + Vx
-             + Vy
-             - 2.0 * jnp.transpose(Vy, (1, 0, 2))   # = V^(2,1,0)
-             - 2.0 * jnp.transpose(Vx, (1, 0, 2))   # = V^(0,2,1)
-             - 2.0 * jnp.transpose(V, (1, 0, 2)))
+        if "zperm" in skip:
+            Z = 4.0 * V
+        elif "zlane" in skip:
+            # timing probe: lane-crossing transposes replaced by the cheap
+            # non-minor swap (wrong values, isolates the relayout cost)
+            Vx = jnp.transpose(V, (1, 0, 2))
+            Vy = jnp.transpose(V, (1, 0, 2))
+            Z = (4.0 * V + Vx + Vy
+                 - 2.0 * jnp.transpose(Vy, (1, 0, 2))
+                 - 2.0 * jnp.transpose(Vx, (1, 0, 2))
+                 - 2.0 * jnp.transpose(V, (1, 0, 2)))
+        else:
+            Vx = jnp.transpose(V, (1, 2, 0))    # V[j,k,i]  (lane-crossing)
+            Vy = jnp.transpose(V, (2, 0, 1))    # V[k,i,j]  (lane-crossing)
+            Z = (4.0 * V
+                 + Vx
+                 + Vy
+                 - 2.0 * jnp.transpose(Vy, (1, 0, 2))   # = V^(2,1,0)
+                 - 2.0 * jnp.transpose(Vx, (1, 0, 2))   # = V^(0,2,1)
+                 - 2.0 * jnp.transpose(V, (1, 0, 2)))
         zd = Z / (eijkv - eabc)
         if act_mode is not None:
             zd = zd * mask
-        etot = etot + jnp.sum(accW * zd) * wgt.astype(dtype)
+        eacc = eacc + (accW * zd) * wgt.astype(dtype)
 
+    etot = jnp.sum(eacc)
     first = (A == 0) & (B == 0)
 
     @pl.when(first)
@@ -286,7 +320,7 @@ def _combine_kernel_v2(o, T, act_mode, dtype, kprec, refs):
      t2p_refs, eijk_ref, actocc_ref, out_ref) = refs
     A = pl.program_id(0)
     B = pl.program_id(1)
-    etot = jnp.zeros((), dtype)
+    eacc = jnp.zeros((o, o, o), dtype)   # vector energy accumulator
     wsum = wsum_ref[...]
     vterm = vterm_ref[...]
     wraw = [r[...] for r in wraw_refs]   # the two p[0]==1 emit arrays
@@ -343,8 +377,9 @@ def _combine_kernel_v2(o, T, act_mode, dtype, kprec, refs):
                         jnp.where((ga == gb) & (gb == gc), 1.0 / 6.0,
                                   jnp.where((ga >= gb) & (gb >= gc),
                                             0.5, 0.0)))
-        etot = etot + jnp.sum(accW * zd) * wgt.astype(dtype)
+        eacc = eacc + (accW * zd) * wgt.astype(dtype)
 
+    etot = jnp.sum(eacc)
     first = (A == 0) & (B == 0)
 
     @pl.when(first)
@@ -499,7 +534,7 @@ def _combine_kernel_v3(o, T, act_mode, dtype, kprec, refs):
      out_ref) = refs
     A = pl.program_id(0)
     B = pl.program_id(1)
-    etot = jnp.zeros((), dtype)
+    eacc = jnp.zeros((o, o, o), dtype)   # vector energy accumulator
     wsum = wsum_ref[...]            # (T, o, o, o) streamed (A, B) column
     eijkv = eijk_ref[...]
     actoccv = actocc_ref[...] if act_mode is not None else None
@@ -581,8 +616,9 @@ def _combine_kernel_v3(o, T, act_mode, dtype, kprec, refs):
                         jnp.where((ga == gb) & (gb == gc), 1.0 / 6.0,
                                   jnp.where((ga >= gb) & (gb >= gc),
                                             0.5, 0.0)))
-        etot = etot + jnp.sum(accW * zd) * wgt.astype(dtype)
+        eacc = eacc + (accW * zd) * wgt.astype(dtype)
 
+    etot = jnp.sum(eacc)
     first = (A == 0) & (B == 0)
 
     @pl.when(first)
@@ -649,6 +685,270 @@ def tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
         interpret=interpret,
         **extra,
     )(gabc, evt, actv, wsum, va, t2p, oovv_t, t1_t, fvo_t, t1c_t, fvoc_t,
+      eijk, actocc)
+    return out[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# v4 epilogue: single padded W stream, split-only un-fuse, b-basis kernel
+# ---------------------------------------------------------------------------
+#
+# MEASURED OUTCOME (2026-08-18, v5e via the axon tunnel): v4 is SLOWER
+# than v1 (13.2 vs 7.9 ms/tile at bench shape) and is kept as the
+# documented experiment, not production.  The probe series that
+# motivated and then falsified it:
+#   * section-skip probes: disabling ALL v1 kernel compute (w2, V term,
+#     Z transposes, W adds) recovers only 0.6 ms/tile -> the cost is
+#     data movement, not compute;
+#   * dots-only floor: the six W1 MXU dots run at 90 TFLOP/s
+#     (1.09 ms/tile) -> XLA-side compute is not the bottleneck;
+#   * XLA-prep-only (pallas call replaced by a trivial XLA consumer of
+#     the same operands): 2.1 ms/tile -> the pallas call itself carries
+#     ~6 ms/tile;
+#   * pallas micro-probes: a grid-(64) kernel that only DMAs 64 x 1 MB
+#     dense blocks runs at ~8 GB/s, and a no-input kernel writing the
+#     same bytes through VMEM scratch runs at ~14 GB/s, while plain XLA
+#     reads the identical arrays at full HBM bandwidth.
+# Conclusion: on THIS runtime Mosaic kernels move data two orders of
+# magnitude below HBM speed, so every byte-shuffling redesign (one
+# stream instead of six, dense-minor layouts, XLA-side canonical sums)
+# lands within noise of the same ~6 ms/tile floor or loses to the extra
+# XLA relayout it introduces.  v1 ('fused') remains the production
+# engine; the design below stands as the layout analysis and the
+# b-basis machinery it proved out.
+#
+# Original design rationale: v1 streams SIX 6D operands whose trailing
+# (o, o) dims lane-pad 4x (268 MB padded vs 67 MB dense each).  v4
+# streams ONE canonical W1 sum in ((j,k)-fused, i) order (T,T,T,o*o,o)
+# and un-fuses each cell with only the Mosaic-proven MAJOR-dim split
+# (o*o, o) -> (o, o, o), no in-kernel relayout.  (The fully-dense
+# (..., o, o*o) variant was measured too: the then-required per-cell
+# (o, o*o) -> (o*o, o) in-kernel transpose runs at ~24 GB/s on v5e and
+# eats the entire saving.)
+#
+# The split lands the cell in the (j, k, i) basis.  By S3 conjugation the
+# Z combine is form-invariant under any uniform relabeling (its
+# coefficients are constant on conjugacy classes: identity 4, 3-cycles
+# +1, transpositions -2), so the kernel runs ENTIRELY in the (j, k, i)
+# basis: denominators, masks and weights are symmetric or per-cell
+# scalars, and the w2/V-term placements are re-derived below (same cost
+# profile as v1: one w2 emission direct, one a cheap non-minor swap,
+# four one in-cell transpose).  Everything else keeps v1's structure —
+# per-grid-step BlockSpec slices, which measured FASTER than v3's
+# resident-ref pl.ds addressing.  Reference spec unchanged:
+# pyscf/lib/cc/ccsd_t.c:39-230.
+#
+# b-basis bookkeeping: b-dims carry canonical occupied ids (j, k, i) =
+# (1, 2, 0); canonical id c lives at b-position _BPOS[c].
+_BPOS = {0: 2, 1: 0, 2: 1}
+
+# w2 emission: the in-kernel dot keeps the t2-side occupied LAST
+# (k'-leading needs a minor split, Mosaic rejects), so the emitted
+# canonical-id order is (p[0], p[1], p[2]) with the v1 ((i,j), m) vooo
+# layout; post maps it onto the b-target (1, 2, 0).
+W2B_POST = {p: (lambda ax: None if ax == (0, 1, 2) else ax)(
+    tuple(p.index(t) for t in (1, 2, 0))) for p in PERMS}
+
+
+def canonical_w1_sum6_5d(w_list, T, o):
+    """The canonical W1 sum in ((j,k)-fused, i) order: (T,T,T,o*o,o).
+
+    Built exactly like canonical_w1_sum6 but with the occupied i axis
+    moved last, so the v4 kernel's per-cell un-fuse is a pure MAJOR-dim
+    split.  XLA fuses the six transposes into the add loop."""
+    acc = None
+    for p, w in zip(PERMS, w_list):
+        ax5 = W1_FUSED4.get(p)
+        if ax5 is not None:
+            w5 = w.reshape(w.shape[:4] + (w.shape[4] * w.shape[5],))
+            wt = jnp.transpose(w5, ax5)
+        else:
+            wt = jnp.transpose(w, W1_CANON[p]).reshape(T, T, T, o, o * o)
+        acc = wt if acc is None else acc + wt
+    return acc.transpose(0, 1, 2, 4, 3)
+
+
+def _combine_kernel_v4(o, T, act_mode, dtype, kprec, refs):
+    """v1's column kernel in the b-basis with the single W stream."""
+    (gabc_ref, evt_ref, actv_ref, wsum_ref, vooo_refs, t2p_refs,
+     oovv_refs, t1_refs, fvo_refs, t1c_refs, fvoc_refs, eijk_ref,
+     actocc_ref, out_ref) = refs
+    A = pl.program_id(0)
+    B = pl.program_id(1)
+    eacc = jnp.zeros((o, o, o), dtype)   # vector energy accumulator
+    wsum = wsum_ref[...]            # (T, o*o, o) streamed (A, B) column
+    t2pv = [t2p_refs[k][...] for k in range(6)]
+    oovvv = [oovv_refs[k][...] for k in range(6)]
+    voov = [vooo_refs[r][...] for r in range(3)]
+    t1v = [t1_refs[r][...] for r in range(3)]
+    fvov = [fvo_refs[r][...] for r in range(3)]
+    t1cv = [t1c_refs[r][...] for r in range(3)]
+    fvocv = [fvoc_refs[r][...] for r in range(3)]
+    eijkv = eijk_ref[...]           # symmetric: valid in any S3 basis
+    actoccv = actocc_ref[...] if act_mode is not None else None
+
+    def pair_cell(vals, r1, r2, c):
+        blk = vals[PAIRS.index((r1, r2))]
+        return blk[c] if (r1 == 2 or r2 == 2) else blk
+
+    def occ_cell(vals, r, c):
+        return vals[r][c] if r == 2 else vals[r]
+
+    for c in range(T):
+        # ---- W1: pure major split of the streamed cell -> (j, k, i)
+        accW = wsum[c].reshape(o, o, o)
+        accV = jnp.zeros((o, o, o), dtype)
+        for p in PERMS:
+            xi, yi, zi = p
+            t2mk = pair_cell(t2pv, zi, yi, c)
+            vb = voov[xi][c] if xi == 2 else voov[xi]
+            w2b = jax.lax.dot_general(
+                vb, t2mk, (((1,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+                precision=kprec).reshape(o, o, o)
+            post = W2B_POST[p]
+            accW = accW - (w2b if post is None
+                           else jnp.transpose(w2b, post))
+            # V term placed on b-basis axes: canonical id d sits at
+            # b-position _BPOS[d]
+            q1, q2, q3 = _BPOS[p[0]], _BPOS[p[1]], _BPOS[p[2]]
+            oovv_ij = pair_cell(oovvv, xi, yi, c)
+            t2ij = pair_cell(t2pv, yi, xi, c)
+            if q1 < q2:
+                a = jnp.expand_dims(oovv_ij, axis=q3)
+                cc = jnp.expand_dims(t2ij, axis=q3)
+            else:
+                a = jnp.expand_dims(oovv_ij.T, axis=q3)
+                cc = jnp.expand_dims(t2ij.T, axis=q3)
+            if q3 == 2:
+                b = occ_cell(t1v, zi, c)[0, :][None, None, :]
+                d = occ_cell(fvov, zi, c)[0, :][None, None, :]
+            elif q3 == 1:
+                b = jnp.expand_dims(occ_cell(t1cv, zi, c)[:, :], 0)
+                d = jnp.expand_dims(occ_cell(fvocv, zi, c)[:, :], 0)
+            else:
+                b = jnp.expand_dims(occ_cell(t1cv, zi, c)[:, :], 2)
+                d = jnp.expand_dims(occ_cell(fvocv, zi, c)[:, :], 2)
+            accV = accV + 0.5 * (a * b + cc * d)
+        V = accV + accW
+        # Z combine: S3-conjugation-invariant, so identical in b-basis
+        Vx = jnp.transpose(V, (1, 2, 0))
+        Vy = jnp.transpose(V, (2, 0, 1))
+        Z = (4.0 * V
+             + Vx
+             + Vy
+             - 2.0 * jnp.transpose(Vy, (1, 0, 2))
+             - 2.0 * jnp.transpose(Vx, (1, 0, 2))
+             - 2.0 * jnp.transpose(V, (1, 0, 2)))
+        eabc = evt_ref[0, A] + evt_ref[1, B] + evt_ref[2, c]
+        zd = Z / (eijkv - eabc)
+        if act_mode is not None:
+            af = actv_ref[0, A] * actv_ref[1, B] * actv_ref[2, c]
+            act6 = af * actoccv
+            zd = zd * ((1.0 - act6) if act_mode == "exclude_active"
+                       else act6)
+        ga = gabc_ref[0, A]
+        gb = gabc_ref[1, B]
+        gc = gabc_ref[2, c]
+        wgt = jnp.where((ga > gb) & (gb > gc), 1.0,
+                        jnp.where((ga == gb) & (gb == gc), 1.0 / 6.0,
+                                  jnp.where((ga >= gb) & (gb >= gc),
+                                            0.5, 0.0)))
+        eacc = eacc + (accW * zd) * wgt.astype(dtype)
+
+    etot = jnp.sum(eacc)
+    first = (A == 0) & (B == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[0, 0] = etot
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[0, 0] = out_ref[0, 0] + etot
+
+
+def _kernel_entry_v4(o, T, act_mode, dtype, kprec, gabc, evt, actv, wsum,
+                     *rest):
+    vooo = rest[0:3]
+    t2p = rest[3:9]
+    oovv = rest[9:15]
+    t1 = rest[15:18]
+    fvo = rest[18:21]
+    t1c = rest[21:24]
+    fvoc = rest[24:27]
+    eijk, actocc, out = rest[27], rest[28], rest[29]
+    _combine_kernel_v4(o, T, act_mode, dtype, kprec,
+                       (gabc, evt, actv, wsum, vooo, t2p, oovv, t1, fvo,
+                        t1c, fvoc, eijk, actocc, out))
+
+
+def tile_energy_fused_v4(wsum5, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
+                         fvoc_t, eijk, gabc, evt, actv=None, actocc=None,
+                         act_mode=None, interpret=False,
+                         kern_precision=None):
+    """v4 tile energy: single W stream + v1-structure small slices.
+
+    wsum5:   (T, T, T, o*o, o) canonical W1 sum, (j,k)-fused with i last
+    other operands exactly as tile_energy_fused (v1).
+    """
+    T = wsum5.shape[0]
+    o = t2p.shape[-1]
+    dtype = wsum5.dtype
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda A, B: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    wcol = pl.BlockSpec((None, None, T, o * o, o),
+                        lambda A, B: (A, B, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    vooo_specs = [pl.BlockSpec(
+        (None, T if r == 2 else None, o * o, o),
+        lambda A, B, r=r: (r, _gid(r, A, B), 0, 0),
+        memory_space=pltpu.VMEM) for r in range(3)]
+    pair_specs = [pl.BlockSpec(
+        (None, None, T if r1 == 2 else None, T if r2 == 2 else None, o, o),
+        lambda A, B, r1=r1, r2=r2: (r1, r2, _gid(r1, A, B),
+                                    _gid(r2, A, B), 0, 0),
+        memory_space=pltpu.VMEM) for (r1, r2) in PAIRS]
+    occ_specs = [pl.BlockSpec(
+        (None, T if r == 2 else None, 1, o),
+        lambda A, B, r=r: (r, _gid(r, A, B), 0, 0),
+        memory_space=pltpu.VMEM) for r in range(3)]
+    occc_specs = [pl.BlockSpec(
+        (None, T if r == 2 else None, o, 1),
+        lambda A, B, r=r: (r, _gid(r, A, B), 0, 0),
+        memory_space=pltpu.VMEM) for r in range(3)]
+
+    in_specs = ([smem, smem, smem, wcol]
+                + vooo_specs + pair_specs + pair_specs
+                + occ_specs + occ_specs + occc_specs + occc_specs
+                + [full((o, o, o)), full((o, o, o))])
+    if actv is None:
+        actv = jnp.zeros((3, T), dtype)
+        actocc = jnp.zeros((o, o, o), dtype)
+
+    kernel = partial(_kernel_entry_v4, o, T, act_mode, dtype,
+                     kern_precision)
+    extra = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+    out = pl.pallas_call(
+        kernel,
+        grid=(T, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), dtype),
+        interpret=interpret,
+        **extra,
+    )(gabc, evt, actv, wsum5,
+      vooo_t, vooo_t, vooo_t,
+      t2p, t2p, t2p, t2p, t2p, t2p,
+      oovv_t, oovv_t, oovv_t, oovv_t, oovv_t, oovv_t,
+      t1_t, t1_t, t1_t, fvo_t, fvo_t, fvo_t,
+      t1c_t, t1c_t, t1c_t, fvoc_t, fvoc_t, fvoc_t,
       eijk, actocc)
     return out[0, 0]
 

@@ -97,3 +97,23 @@ def test_fused3_engine_active_mask_matches_xla():
         e_3 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused3",
                                   **kw))
         np.testing.assert_allclose(e_3, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_fused4_engine_matches_xla_engine():
+    # v4 epilogue: DENSE pair-fused W1 stream, b-basis kernel (the
+    # padding fix; ops/triples_combine.py v4 design note)
+    t1, t2, eris = _rand_problem()
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_4 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused4"))
+    np.testing.assert_allclose(e_4, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_fused4_engine_active_mask_matches_xla():
+    t1, t2, eris = _rand_problem(seed=11)
+    for m in ("only_active", "exclude_active"):
+        kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode=m)
+        e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla",
+                                    **kw))
+        e_4 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused4",
+                                  **kw))
+        np.testing.assert_allclose(e_4, e_xla, rtol=1e-10, atol=1e-12)
