@@ -35,9 +35,13 @@ sys.path.insert(0, os.path.join(_HERE, ".."))
 
 SCRATCH = os.path.join(_HERE, "..", ".scratch", "oh3w_parity")
 
-# top-4 occupied / lowest-4 virtual per spin (virtual-block-relative),
-# the radical's frontier space; na=20, nb=19 at this geometry/basis
-N_ACT = 4
+# active space size per spin (top-N occupied / lowest-N virtual,
+# virtual-block-relative); na=20, nb=19 at this geometry/basis.
+# N=4 (the radical frontier) couples at only ~6e-8 Ha here — below the
+# fp32 energy resolution (measured: one-sweep feedback norms ~1e-5, 
+# energy delta -5.96e-8) — so the production default is N=10, where the
+# coupling is orders of magnitude above the resolution floor.
+N_ACT = int(os.environ.get("T3_N_ACT", "10"))
 
 
 def stage_scf():
