@@ -28,14 +28,17 @@ import subprocess
 import sys
 import time
 
+# ntile follows lib.memory.plan_ladder_ntile for the pair-tiled ladder
+# (measured on v5e at bench shape: ntile=8 0.99 s/ladder vs the round-2
+# single-axis ntile=106 at 1.12 s)
 CONFIGS = [
-    dict(nocc=32, nvir=424, naux=1216, ntile=106, timeout=560),
-    dict(nocc=24, nvir=212, naux=608, ntile=53, timeout=300),
-    dict(nocc=16, nvir=128, naux=384, ntile=16, timeout=200),
-    dict(nocc=8, nvir=64, naux=128, ntile=8, timeout=150),
+    dict(nocc=32, nvir=424, naux=1216, ntile=8, timeout=560),
+    dict(nocc=24, nvir=212, naux=608, ntile=4, timeout=300),
+    dict(nocc=16, nvir=128, naux=384, ntile=2, timeout=200),
+    dict(nocc=8, nvir=64, naux=128, ntile=1, timeout=150),
     # last resort: CPU backend, so a wedged accelerator still yields a
     # meaningful (if slow) measurement instead of an error record
-    dict(nocc=8, nvir=64, naux=128, ntile=8, timeout=300, platform="cpu"),
+    dict(nocc=8, nvir=64, naux=128, ntile=1, timeout=300, platform="cpu"),
 ]
 
 
@@ -74,9 +77,14 @@ def run_config(cfg):
     fn.lower(t1, t2, eris).compile()
     # analytic per-dot count: XLA's compiled.cost_analysis() counts the
     # lax.map-tiled ladder body ONCE (1.77e12 vs the true 1.45e14 at bench
-    # shape), so it underreports throughput ~4.4x; rccsd.flops_per_update
-    # enumerates the dot_generals the update actually executes.
+    # shape), so it underreports throughput ~4.4x.  `flops` is the
+    # DENSE-EQUIVALENT algorithmic count (stable work definition across
+    # rounds); `flops_executed` is what the pair-symmetric ladder actually
+    # runs on the MXU (the A<B ladder blocks are transposed mirrors) —
+    # both are reported.
     flops = rccsd.flops_per_update(nocc, nvir, naux)
+    flops_executed = rccsd.flops_per_update(nocc, nvir, naux,
+                                            ntile=cfg["ntile"])
     t1b, t2b = fn(t1, t2, eris)
     # NOTE: on the axon tunnel runtime block_until_ready can return before
     # execution finishes; a scalar device->host fetch is the only reliable
@@ -88,7 +96,8 @@ def run_config(cfg):
         t1b, t2b = fn(t1b, t2b, eris)
     chk = float(jnp.vdot(t1b, t1b))
     dt = (time.perf_counter() - t0) / n_rep
-    return dict(flops=flops, sec=dt, device=str(jax.devices()[0]), chk=chk)
+    return dict(flops=flops, flops_executed=flops_executed, sec=dt,
+                device=str(jax.devices()[0]), chk=chk)
 
 
 def run_parity(cfg):
@@ -306,6 +315,12 @@ def main():
             "naux": cfg["naux"], "dtype": "float32",
             "device": r["device"],
             "reference_cpu_tflops": round(ref, 4),
+            # dense-equivalent algorithmic work / time is the headline;
+            # the pair-symmetric vvvv ladder executes fewer FLOPs for the
+            # same update, measured separately here:
+            "executed_tflops": round(
+                r.get("flops_executed", r["flops"]) / r["sec"] / 1e12, 3),
+            "ladder": "pair-symmetric (A>=B tiles, mirrored)",
         }
         headline = {
             "metric": "ccsd_update_tflops",

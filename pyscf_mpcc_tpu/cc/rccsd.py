@@ -61,39 +61,80 @@ def _ladder_vvvv(tau, t1, eris):
 
 
 def _ladder_df(tau, t1, eris, ntile):
-    """tau * Wvvvv from DF factors with t1-dressed Lvv, tiled over 'a'.
+    """tau * Wvvvv from DF factors with t1-dressed Lvv, tiled over
+    symmetric virtual tile PAIRS.
 
     Ldressed[L,a,c] = Lvv[L,a,c] - sum_k t1[k,a] Lov[L,k,c]; the spurious
     quadratic term sum_kl t1_ka t1_lb (kc|ld) tau_ijcd is subtracted
     explicitly.  Equivalent of the reference's dfccsd._contract_vvvv_t2
-    (pyscf/cc/dfccsd.py:54) without packed storage.
+    (pyscf/cc/dfccsd.py:54); the tile-pair mirror below is the TPU-dense
+    counterpart of that routine's s4-packed dgemm.
+
+    Symmetry: W[a,c,b,d] = sum_L Ld[L,ac] Ld[L,bd] swaps its two factor
+    slots exactly, W[acbd] = W[bdac], even with t1-dressing (it is the
+    X^T X structure, not the eri's own permutation symmetry), and tau is
+    (ij)<->(cd) joint-swap symmetric, so the ladder output obeys
+    Ht2[i,j,a,b] = Ht2[j,i,b,a].  Tiling BOTH output virtual axes into
+    `ntile` tiles and evaluating only pairs A >= B halves the two
+    dominant dot costs (the naux*nvir^4 W build and the nocc^2*nvir^4
+    contraction); A < B blocks are transposed mirrors.  tau is
+    symmetrized on entry so the mirrored ladder is a well-defined (and
+    AD-consistent: its vjp is the symmetric projection of the dense
+    ladder's) function of an arbitrary t2 — an exact FP no-op for the
+    symmetric iterates every solver here produces.
+
+    nvir is zero-padded to a tile multiple internally; any ntile >= 1
+    is legal.
     """
+    # exact pass-through for symmetric tau (x+x is exact, 0.5* is exact)
+    tau = 0.5 * (tau + tau.transpose(1, 0, 3, 2))
     Lvv, Lov = eris.Lvv, eris.Lov
     Ld = Lvv - jnp.einsum("ka,Lkc->Lac", t1, Lov)
     naux, nvir = Ld.shape[0], Ld.shape[1]
-    if nvir % ntile:
-        raise ValueError(
-            f"ntile={ntile} must divide nvir={nvir} (the reshape below "
-            "silently truncates otherwise); pick a divisor or pad")
-    ta = nvir // ntile
-    Ld_t = Ld.reshape(naux, ntile, ta, nvir).transpose(1, 0, 2, 3)
+    nocc = tau.shape[0]
+    ntile = max(1, min(int(ntile), nvir))
+    tsz = -(-nvir // ntile)
+    nvp = ntile * tsz
+    pad = nvp - nvir
+    if pad:
+        # padded a-rows of Ld are zero -> zero output rows (mirrors stay
+        # exact); padded c-columns contract against zero tau columns
+        Ld = jnp.pad(Ld, ((0, 0), (0, pad), (0, pad)))
+        tau_p = jnp.pad(tau, ((0, 0), (0, 0), (0, pad), (0, pad)))
+    else:
+        tau_p = tau
+    Ld_t = Ld.reshape(naux, ntile, tsz, nvp).transpose(1, 0, 2, 3)
+    pairs = np.asarray([(a, b)
+                        for a in range(ntile) for b in range(a + 1)],
+                       dtype=np.int32)
 
-    def tile_fn(ld_tile):
-        # 'acbd' is the natural dot_general output layout ((a,c) from the
-        # tile, (b,d) from Ld) — consuming it directly saves an explicit
-        # nvir^4/ntile-sized HBM transpose per tile (~15% on the ladder,
-        # measured at (H2O)8/cc-pVTZ shape on v5e).
-        w = jnp.einsum("Lac,Lbd->acbd", ld_tile, Ld)
-        return jnp.einsum("acbd,ijcd->ijab", w, tau)
+    def pair_fn(ab):
+        lda = Ld_t[ab[0]]
+        ldb = Ld_t[ab[1]]
+        # 'acbd' is the natural dot_general output layout ((a,c) from one
+        # tile, (b,d) from the other) — consuming it directly saves an
+        # explicit HBM transpose per pair (~15% on the ladder, measured
+        # at (H2O)8/cc-pVTZ shape on v5e).
+        w = jnp.einsum("Lac,Lbd->acbd", lda, ldb)
+        return jnp.einsum("acbd,ijcd->ijab", w, tau_p)
 
     # checkpoint: under vjp (Lambda/RDM solvers) lax.map would otherwise
-    # save every tile's 4-index w block for the backward pass — an
+    # save every pair's 4-index w block for the backward pass — an
     # O(nvir^4) spill (129 GB at (H2O)8/cc-pVTZ).  Rematerializing w per
-    # tile costs one extra dressed dot in the backward sweep and nothing
+    # pair costs one extra dressed dot in the backward sweep and nothing
     # in the forward-only solve.
-    out = jax.lax.map(jax.checkpoint(tile_fn), Ld_t)  # (ntile, o, o, ta, v)
-    nocc = tau.shape[0]
-    out = out.transpose(1, 2, 0, 3, 4).reshape(nocc, nocc, nvir, nvir)
+    blocks = jax.lax.map(jax.checkpoint(pair_fn), jnp.asarray(pairs))
+    out6 = jnp.zeros((ntile, ntile, nocc, nocc, tsz, tsz), tau.dtype)
+    ia, ib = pairs[:, 0], pairs[:, 1]
+    out6 = out6.at[ia, ib].set(blocks)
+    strict = np.nonzero(ia > ib)[0]
+    if strict.size:
+        # mirror: Ht2[ij, b-tile, a-tile] = Ht2[ji, a-tile, b-tile]^T
+        out6 = out6.at[ib[strict], ia[strict]].set(
+            blocks[strict].transpose(0, 2, 1, 4, 3))
+    out = out6.transpose(2, 3, 0, 4, 1, 5).reshape(nocc, nocc, nvp, nvp)
+    if pad:
+        out = out[:, :, :nvir, :nvir]
     # subtract the quadratic dressing artifact
     tmp = jnp.einsum("kcld,ijcd->klij", eris.ovov, tau)
     out = out - jnp.einsum("klij,ka,lb->ijab", tmp, t1, t1)
@@ -558,24 +599,44 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
     return converged, e, t1, t2
 
 
-def flops_per_update(nocc, nvir, naux=None):
-    """Analytic FLOP count of one update as implemented here (reference
-    _flops analog, pyscf/cc/ccsd.py:1754) — the denominator for
-    MXU-utilization reporting.
+def flops_per_update(nocc, nvir, naux=None, ntile=None):
+    """Analytic FLOP count of one update (reference _flops analog,
+    pyscf/cc/ccsd.py:1754) — the denominator for MXU-utilization
+    reporting.
 
-    Counts exactly the dot_generals this module's DF path executes (2*M*N*K
-    each).  NOTE: XLA's compiled.cost_analysis() undercounts lax.map bodies
-    (it reports ONE trip of the tiled ladder, ~80x low at (H2O)8 shape), so
+    With ntile=None (default) this is the DENSE-EQUIVALENT algorithmic
+    count: every contraction of the textbook DF update at full size.
+    This is the stable work definition used for cross-run throughput
+    comparison — the same convention as the reference's own count, which
+    likewise charges its symmetry-packed vvvv dgemm at the work it
+    represents.
+
+    With an integer ntile, returns the FLOPs the pair-tiled ladder
+    (_ladder_df) actually EXECUTES: the two O(nv^4) ladder terms scale
+    by npair/ntile^2 = (1 + 1/ntile)/2 because only tile pairs A >= B
+    are evaluated (the A < B blocks are transposed mirrors), at the
+    padded virtual dimension.
+
+    NOTE: XLA's compiled.cost_analysis() undercounts lax.map bodies (it
+    reports ONE trip of the tiled ladder, ~80x low at (H2O)8 shape), so
     throughput reporting must use this analytic count."""
     no, nv = nocc, nvir
     fl = 0.0
     if naux:
-        fl += 2.0 * naux * nv**4            # ladder W = Ld^T Ld (all tiles)
+        if ntile:
+            tsz = -(-nv // ntile)
+            nvp = ntile * tsz
+            frac = (ntile * (ntile + 1) / 2) / ntile**2
+            fl += 2.0 * naux * nvp**4 * frac   # ladder W = Ld^T Ld, pairs
+            fl += 2.0 * no**2 * nvp**4 * frac  # tau * Wvvvv, pairs
+        else:
+            fl += 2.0 * naux * nv**4           # ladder W (dense equivalent)
+            fl += 2.0 * no**2 * nv**4          # tau * Wvvvv
         fl += 2.0 * naux * no**2 * nv**2 * 6  # ovvv-free factorized terms
         fl += 2.0 * naux * no * nv**2 * 4     # Ld dressing + small DF dots
     else:
         fl += 2.0 * no * nv**4 * 2          # materialized chi_vvvv dressing
-    fl += 2.0 * no**2 * nv**4               # tau * Wvvvv
+        fl += 2.0 * no**2 * nv**4           # tau * Wvvvv
     fl += 2.0 * no**3 * nv**3 * 8           # rings: 4 Wvoov/Wvovo t2-builds
     #                                         + 4 t2 contractions
     fl += 2.0 * no**4 * nv**2 * 3           # Woooo build/use + quadratic fix

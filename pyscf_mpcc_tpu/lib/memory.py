@@ -48,30 +48,40 @@ def _itemsize(dtype):
 
 
 def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None):
-    """Tile count for the DF vvvv ladder (cc/rccsd._ladder_df).
+    """Tile count per virtual axis for the pair-tiled DF vvvv ladder
+    (cc/rccsd._ladder_df).
 
-    Working set per tile beyond the persistent tensors: the dressed
-    4-index W block w[a_tile, c, b, d] = (ta, nvir, nvir, nvir) that
-    tile_fn materializes before contracting with tau (cc/rccsd._ladder_df
-    "Lac,Lbd->acbd"), i.e. bytes_per_tile ~ (nvir^4/ntile) * isz * 2
-    (block + its double buffer).  An earlier revision modeled only three
-    virtual dims and chose ntile=1..8 at (H2O)8/cc-pVTZ scale — a 19.5 GB
-    allocation the device compiler rejects.
-    Returns the smallest divisor `ntile` of nvir whose per-tile block
-    fits in ~1/4 of the budget (several buffers are live at once under
-    XLA double-buffering of lax.map).
+    Working set per tile PAIR beyond the persistent tensors: the dressed
+    4-index W block w[a_tile, c, b_tile, d] = (tsz, nvir, tsz, nvir)
+    that pair_fn materializes before contracting with tau
+    (cc/rccsd._ladder_df "Lac,Lbd->acbd"), i.e. bytes_per_pair ~
+    (nvir/ntile)^2 * nvir^2 * isz * 2 (block + its double buffer), plus
+    the stacked per-pair outputs (~0.56 * t2 size).  An earlier revision
+    modeled only three virtual dims and chose ntile=1..8 at
+    (H2O)8/cc-pVTZ scale — a 19.5 GB allocation the device compiler
+    rejects.
+    Returns the smallest ntile whose per-pair block (with its lax.map
+    double buffer, the factor 2 below) fits in half of what remains
+    after the persistent tensors; nvir need not be divisible (the
+    ladder zero-pads).  Fewer/larger tiles are measurably faster (v5e,
+    (H2O)8/cc-pVTZ shape: ntile=8 0.99 s vs ntile=10 1.30 s vs the old
+    single-axis ntile=106 1.12 s), so the planner is as aggressive as
+    the budget allows.  Small tail tiles are MXU-hostile (the tau
+    contraction's M dim is tsz^2), so tsz is kept >= 16 where possible.
     """
     isz = _itemsize(dtype)
     budget = budget if budget is not None else hbm_budget_bytes()
     persistent = (naux * nvir * nvir + naux * nocc * nvir
-                  + 3 * nocc * nocc * nvir * nvir) * isz
+                  + 4 * nocc * nocc * nvir * nvir) * isz
     avail = max(budget - persistent, budget // 8)
-    divisors = [d for d in range(1, nvir + 1) if nvir % d == 0]
-    for ntile in divisors:
-        per_tile = (nvir // ntile) * nvir ** 3 * isz * 2
-        if per_tile <= avail // 4:
+    for ntile in range(1, nvir + 1):
+        tsz = -(-nvir // ntile)
+        per_pair = tsz * tsz * nvir * nvir * isz * 2
+        if per_pair <= avail // 2:
             return ntile
-    return nvir
+        if tsz <= 16:
+            break
+    return -(-nvir // 16)
 
 
 def ccsd_working_set_bytes(nocc, nvir, naux, ntile=1, dtype="float32",
@@ -92,7 +102,8 @@ def ccsd_working_set_bytes(nocc, nvir, naux, ntile=1, dtype="float32",
           + naux * nocc * nocc) * isz          # Lvv + Lov + Loo
     eris4 = 4 * o2v2 * isz                     # ovov + oovv + ovvo + ovoo~
     t2likes = 3 * o2v2 * isz                   # t2, t2new, tau
-    tile = (nvir // ntile) * nvir ** 3 * isz * 2
+    tsz = -(-nvir // max(ntile, 1))
+    tile = tsz * tsz * nvir * nvir * isz * 2
     if ndev == 1:
         return df + eris4 + t2likes + tile
     return df // ndev + eris4 + t2likes // ndev + tile
