@@ -42,10 +42,11 @@ FROZEN = 8
 
 def _lambda_ntile(nvir, base):
     """Ladder tile count for the Lambda/residual pass: the vjp through
-    the DF ladder roughly doubles the live block set, so take the
-    smallest divisor of nvir at least twice the forward choice."""
-    divs = [d for d in range(1, nvir + 1) if nvir % d == 0]
-    return min([d for d in divs if d >= 2 * base] or [nvir])
+    the DF ladder roughly doubles the live block set (the rematerialized
+    pair W block plus its cotangent), so double the forward tile count —
+    the pair block area quarters.  The pair-tiled ladder zero-pads, so
+    no divisor constraint applies."""
+    return min(2 * max(base, 1), nvir)
 
 
 def build_mf():

@@ -109,10 +109,18 @@ class RCCSDDriver(StreamObject):
     def solve_lambda(self, t1=None, t2=None, eris=None):
         if eris is None:
             eris = self.eris or self.ao2mo()
+        ntile = self.ntile
+        if not ntile and eris.Lvv is not None:
+            # the Lambda vjp keeps the ladder W block AND its cotangent
+            # live, so plan a finer tiling than the forward solve
+            from pyscf_mpcc_tpu.lib import memory as _mem
+            ntile = _mem.plan_ladder_ntile(self.nocc, self.nmo - self.nocc,
+                                           eris.Lvv.shape[0], vjp=True)
         conv, self.l1, self.l2 = lambda_ad.kernel(
             t1 if t1 is not None else self.t1,
             t2 if t2 is not None else self.t2, eris,
-            conv_tol=self.conv_tol_normt, max_cycle=self.max_cycle)
+            conv_tol=self.conv_tol_normt, max_cycle=self.max_cycle,
+            ntile=max(ntile, 1))
         return self.l1, self.l2
 
     def make_rdm12(self):

@@ -47,7 +47,8 @@ def _itemsize(dtype):
     return np.dtype(dtype).itemsize
 
 
-def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None):
+def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None,
+                      vjp=False):
     """Tile count per virtual axis for the pair-tiled DF vvvv ladder
     (cc/rccsd._ladder_df).
 
@@ -68,15 +69,21 @@ def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None):
     single-axis ntile=106 1.12 s), so the planner is as aggressive as
     the budget allows.  Small tail tiles are MXU-hostile (the tau
     contraction's M dim is tsz^2), so tsz is kept >= 16 where possible.
+
+    vjp=True plans for the Lambda/RDM backward sweep, where the
+    rematerialized W block AND its cotangent are live simultaneously
+    (2x the forward block set) and more t2-sized cotangents persist.
     """
     isz = _itemsize(dtype)
     budget = budget if budget is not None else hbm_budget_bytes()
+    n_t2like = 7 if vjp else 4
     persistent = (naux * nvir * nvir + naux * nocc * nvir
-                  + 4 * nocc * nocc * nvir * nvir) * isz
+                  + n_t2like * nocc * nocc * nvir * nvir) * isz
     avail = max(budget - persistent, budget // 8)
+    live = 4 if vjp else 2
     for ntile in range(1, nvir + 1):
         tsz = -(-nvir // ntile)
-        per_pair = tsz * tsz * nvir * nvir * isz * 2
+        per_pair = tsz * tsz * nvir * nvir * isz * live
         if per_pair <= avail // 2:
             return ntile
         if tsz <= 16:
