@@ -86,10 +86,24 @@ def _ladder_df(tau, t1, eris, ntile):
     nvir is zero-padded to a tile multiple internally; any ntile >= 1
     is legal.
     """
-    # exact pass-through for symmetric tau (x+x is exact, 0.5* is exact)
-    tau = 0.5 * (tau + tau.transpose(1, 0, 3, 2))
     Lvv, Lov = eris.Lvv, eris.Lov
     Ld = Lvv - jnp.einsum("ka,Lkc->Lac", t1, Lov)
+    out = pair_ladder_sym(tau, Ld, ntile)
+    # subtract the quadratic dressing artifact
+    tmp = jnp.einsum("kcld,ijcd->klij", eris.ovov, tau)
+    out = out - jnp.einsum("klij,ka,lb->ijab", tmp, t1, t1)
+    return out
+
+
+def pair_ladder_sym(tau, Ld, ntile):
+    """out[ijab] = sum_{L,c,d} Ld[L,a,c] Ld[L,b,d] tau[i,j,c,d], evaluated
+    only on virtual tile pairs A >= B; A < B blocks are transposed mirrors
+    (see _ladder_df's symmetry note).  Requires (exactly: enforces) tau
+    symmetric under the joint (ij)<->(cd) swap.  Also the aa/bb ladder of
+    the spin-traced UCCSD engine (cc/uccsd._ladder_tiled dispatches here
+    when both factors are the same array)."""
+    # exact pass-through for symmetric tau (x+x is exact, 0.5* is exact)
+    tau = 0.5 * (tau + tau.transpose(1, 0, 3, 2))
     naux, nvir = Ld.shape[0], Ld.shape[1]
     nocc = tau.shape[0]
     ntile = max(1, min(int(ntile), nvir))
@@ -135,9 +149,6 @@ def _ladder_df(tau, t1, eris, ntile):
     out = out6.transpose(2, 3, 0, 4, 1, 5).reshape(nocc, nocc, nvp, nvp)
     if pad:
         out = out[:, :, :nvir, :nvir]
-    # subtract the quadratic dressing artifact
-    tmp = jnp.einsum("kcld,ijcd->klij", eris.ovov, tau)
-    out = out - jnp.einsum("klij,ka,lb->ijab", tmp, t1, t1)
     return out
 
 

@@ -323,7 +323,17 @@ def _ladder_tiled(tau, L1, L2, ntile):
     over the first virtual axis so (v,v,v,v) never materializes whole.
     The tiled axis is zero-padded up to ntile * ceil(nv1/ntile): padded
     rows produce zero output rows, sliced off at the end — any
-    (nvir, ntile) combination is valid."""
+    (nvir, ntile) combination is valid.
+
+    Same-spin blocks pass the SAME dressed factor for L1 and L2 and an
+    antisymmetric tau (joint (ij)<->(ef) swap symmetric), so the
+    pair-mirrored symmetric ladder applies — it halves the two dominant
+    dot costs (see rccsd.pair_ladder_sym).  The opposite-spin block
+    (L1 = alpha, L2 = beta) has no such symmetry and takes the generic
+    path below."""
+    if L1 is L2:
+        from pyscf_mpcc_tpu.cc.rccsd import pair_ladder_sym
+        return pair_ladder_sym(tau, L1, ntile)
     nv1 = L1.shape[1]
     ntile = max(1, min(int(ntile), nv1))
     ta = -(-nv1 // ntile)
