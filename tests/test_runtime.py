@@ -45,6 +45,14 @@ def test_memory_governor_plans():
     assert tsz >= 16
     tiny = memory.plan_ladder_ntile(8, 64, 128, budget=14 * 2**30)
     assert tiny == 1           # everything fits in one tile
+    # the Lambda/RDM backward sweep holds the rematerialized W block AND
+    # its cotangent live (plus extra t2-sized cotangents persistent), so
+    # the vjp plan must never be coarser than the forward plan
+    nt_vjp = memory.plan_ladder_ntile(32, 424, 1216, budget=14 * 2**30,
+                                      vjp=True)
+    assert nt_vjp >= nt
+    tsz_vjp = -(-424 // nt_vjp)
+    assert tsz_vjp * tsz_vjp * 424 ** 2 * 4 * 4 < 14 * 2**30 // 2
     t = memory.plan_triples_tile(32, 424, 1216, budget=14 * 2**30)
     assert 4 <= t <= 16 and t % 2 == 0
     # a tight budget must shrink the tile
