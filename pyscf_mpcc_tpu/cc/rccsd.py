@@ -132,21 +132,38 @@ def pair_ladder_sym(tau, Ld, ntile):
         w = jnp.einsum("Lac,Lbd->acbd", lda, ldb)
         return jnp.einsum("acbd,ijcd->ijab", w, tau_p)
 
-    # checkpoint: under vjp (Lambda/RDM solvers) lax.map would otherwise
+    # checkpoint: under vjp (Lambda/RDM solvers) the scan would otherwise
     # save every pair's 4-index w block for the backward pass — an
     # O(nvir^4) spill (129 GB at (H2O)8/cc-pVTZ).  Rematerializing w per
     # pair costs one extra dressed dot in the backward sweep and nothing
     # in the forward-only solve.
-    blocks = jax.lax.map(jax.checkpoint(pair_fn), jnp.asarray(pairs))
-    out6 = jnp.zeros((ntile, ntile, nocc, nocc, tsz, tsz), tau.dtype)
-    ia, ib = pairs[:, 0], pairs[:, 1]
-    out6 = out6.at[ia, ib].set(blocks)
-    strict = np.nonzero(ia > ib)[0]
-    if strict.size:
-        # mirror: Ht2[ij, b-tile, a-tile] = Ht2[ji, a-tile, b-tile]^T
-        out6 = out6.at[ib[strict], ia[strict]].set(
-            blocks[strict].transpose(0, 2, 1, 4, 3))
-    out = out6.transpose(2, 3, 0, 4, 1, 5).reshape(nocc, nocc, nvp, nvp)
+    block_fn = jax.checkpoint(pair_fn)
+
+    # Assembly writes each block (and its A<B mirror, Ht2[ij,Btile,Atile]
+    # = Ht2[ji,Atile,Btile]^T) straight into the FINAL 4D layout with
+    # dynamic_update_slice inside the scan.  The earlier stack/scatter/
+    # transpose assembly (lax.map -> out6.at[].set -> 6-axis transpose)
+    # kept full-output remat copies in (..., tsz, tsz)-minor layouts
+    # under vjp, which Mosaic tiling pads ~4.7x — three such temps put
+    # the (H2O)8 Lambda step 2.4 GB over HBM.  The dus chain is linear
+    # in the carry, so the scan vjp saves no per-iteration carries: the
+    # backward sweep holds ONE output-sized cotangent and slices block
+    # cotangents out of it.
+    def body(out, ab):
+        blk = block_fn(ab)
+        z = jnp.int32(0)
+        oa = ab[0] * tsz
+        ob = ab[1] * tsz
+        # mirror first: on the diagonal (oa == ob) both writes target the
+        # same slot and the direct block wins (it equals its own mirror
+        # for symmetric tau, and AD sees the overwrite exactly)
+        out = jax.lax.dynamic_update_slice(
+            out, blk.transpose(1, 0, 3, 2), (z, z, ob, oa))
+        out = jax.lax.dynamic_update_slice(out, blk, (z, z, oa, ob))
+        return out, None
+
+    out0 = jnp.zeros((nocc, nocc, nvp, nvp), tau.dtype)
+    out, _ = jax.lax.scan(body, out0, jnp.asarray(pairs))
     if pad:
         out = out[:, :, :nvir, :nvir]
     return out
