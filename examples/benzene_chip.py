@@ -106,8 +106,15 @@ def main():
     print(f"[{time.time()-t_all:7.1f}s] fp32 E_corr(MP2) = {e_mp2:.10f} "
           f"({t_mp2:.2f}s incl. compile; reference CPU: 4.66s)", flush=True)
     ntile = _mem.plan_ladder_ntile(nocc, nvir, er.Lvv.shape[0])
+    # On-device DIIS ring by default: at this scale the space-6 ring is
+    # ~1.3 GB of HBM, and it removes the ~215 MB/cycle host round-trip
+    # that dominates the solve wall on a degraded dev tunnel (measured
+    # 2026-08-19: host-ring solve 362 s vs 210 s for identical code on a
+    # healthy link — the variance is all transfer).
+    diis_backend = os.environ.get("BENZENE_DIIS_BACKEND", "device")
     conv, e32, t1, t2 = rccsd.kernel(er, conv_tol=1e-8, conv_tol_normt=1e-6,
-                                     max_cycle=60, ntile=ntile, verbose=4)
+                                     max_cycle=60, ntile=ntile, verbose=4,
+                                     diis_backend=diis_backend)
     t_ccsd = time.time() - t0
     print(f"[{time.time()-t_all:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
           f"converged={conv}  CCSD wall = {t_ccsd:.1f}s "
@@ -137,7 +144,8 @@ def main():
         # fp64 Lagrangian certification (docs/PARITY.md protocol)
         t0 = time.time()
         cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6,
-                                      max_cycle=60, verbose=4)
+                                      max_cycle=60, verbose=4,
+                                      diis_backend=diis_backend)
         np.savez(os.path.join(_HERE, "..", ".scratch", "benzene_amps.npz"),
                  t1=np.asarray(t1), t2=np.asarray(t2),
                  l1=np.asarray(l1), l2=np.asarray(l2))

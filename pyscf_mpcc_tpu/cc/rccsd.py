@@ -603,8 +603,10 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
             vec_new = pack(t1new, t2new)
             t2shape = t2new.shape
             del t1new, t2new       # 1.5 GB at production scale: release
-            dstate, vec = device_diis.update(dstate, vec_new,
-                                             vec_new - vec_old)
+            # host-solve hybrid: ring + Gram in HBM, fp64 B solve on the
+            # host (fp32 on-device eigh stalls the solve at |dt| ~ 1e-5)
+            dstate, vec = device_diis.update_hostsolve(dstate, vec_new,
+                                                       vec_new - vec_old)
             del vec_new
             vec_old = vec
             t1 = vec[: nocc * nvir].reshape(nocc, nvir)

@@ -65,9 +65,62 @@ def update(state: DIISState, x, err):
     g = jnp.zeros((space + 1,), xs.dtype).at[0].set(1.0)
     w, v = jnp.linalg.eigh(h)
     wmax = jnp.max(jnp.abs(w))
-    keep = jnp.abs(w) > 1e-12 * wmax
+    # filter at the working dtype's resolution: eigenvalues below
+    # ~50 eps * wmax are rounding noise of the Gram entries, and
+    # inverting them is what stalls fp32 DIIS (the reference's 1e-14 is
+    # an fp64 constant, meaningless here)
+    keep = jnp.abs(w) > 50 * jnp.finfo(xs.dtype).eps * wmax
     winv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
     c = v @ (winv * (v.T @ g))
     coef = c[1:] * valid
     x_new = coef @ xs
     return DIISState(xs, errs, count), x_new
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def push(state: DIISState, x, err):
+    """Store (x, err) in the donated ring; return (state, G) with G the
+    (space, space) Gram matrix of the valid error history (invalid rows
+    zero).  First half of the host-solve hybrid: amplitude-sized data
+    stays in HBM, only G — a few hundred bytes — leaves the device."""
+    space, n = state.xs.shape
+    slot = (state.count % space).astype(jnp.int32)
+    zi = jnp.int32(0)
+    xs = jax.lax.dynamic_update_slice(state.xs, x[None, :], (slot, zi))
+    errs = jax.lax.dynamic_update_slice(state.errs, err[None, :], (slot, zi))
+    count = state.count + 1
+    valid = (jnp.arange(space) < jnp.minimum(count, space)).astype(xs.dtype)
+    ev = errs * valid[:, None]
+    return DIISState(xs, errs, count), ev @ ev.T
+
+
+@jax.jit
+def extrapolate(state: DIISState, coef):
+    """Extrapolated vector from host-solved coefficients (second half of
+    the hybrid).  Not donated: the ring must survive for the next cycle."""
+    return coef @ state.xs
+
+
+def update_hostsolve(state: DIISState, x, err):
+    """Hybrid Pulay update: ring buffer + Gram dots on device, the tiny
+    (nd+1)^2 augmented B system solved on the HOST in fp64.
+
+    The fully-on-device :func:`update` does its eigendecomposition in the
+    ring's dtype; in fp32 the B matrix spans ~(err ratio)^2 orders of
+    magnitude and the filtered solve runs out of precision around
+    |dt| ~ 1e-5 (measured: benzene/cc-pVTZ stalls unconverged where the
+    host ring reaches 1e-6).  Solving the SMALL system in fp64 on the
+    host costs ~200 bytes/cycle over the link — amplitude-sized buffers
+    never move, which is the point of the device ring — and restores the
+    host ring's convergence envelope.  Reference counterpart: the fp64
+    extrapolate of pyscf/lib/diis.py:245."""
+    import numpy as np
+    from .diis import solve_diis_b
+
+    state, G = push(state, x, err)
+    space = state.xs.shape[0]
+    nd = int(min(int(state.count), space))
+    Gh = np.asarray(G, dtype=np.float64)[:nd, :nd]
+    coef = np.zeros(space)
+    coef[:nd] = solve_diis_b(Gh)
+    return state, extrapolate(state, jnp.asarray(coef, state.xs.dtype))

@@ -78,3 +78,31 @@ def test_device_diis_matches_host():
                                    max_cycle=100, diis_backend="device")
     assert conv_h and conv_d
     assert abs(e_h - e_d) < 1e-8
+
+
+def test_device_diis_fp32_converges_tight():
+    """fp32 device ring must reach the production tolerances.
+
+    Regression for the host-solve hybrid (lib/device_diis.update_hostsolve):
+    the fully-on-device fp32 eigendecomposition of the DIIS B matrix runs
+    out of precision and stalls the solve at |dt| ~ 1e-5 (measured at
+    benzene/cc-pVTZ on the chip: 60 cycles unconverged where the host ring
+    reaches 1e-6).  With the tiny B system solved on the host in fp64 the
+    device ring matches the host ring's convergence envelope while
+    amplitude-sized data stays on device."""
+    d = h2o_ccpvdz()
+    nao = d["eri_ao"].shape[0]
+    eri_mat = d["eri_ao"].reshape(nao * nao, nao * nao)
+    w, v = np.linalg.eigh(eri_mat)
+    keep = w > 1e-12
+    B = (v[:, keep] * np.sqrt(w[keep])).T.reshape(-1, nao, nao)
+    er32 = eris_mod.make_eris_df(B, d["mo_coeff"], d["fock_ao"], 5,
+                                 dtype=jnp.float32, keep_ovvv=False)
+    conv_h, e_h, *_ = rccsd.kernel(er32, conv_tol=1e-8, conv_tol_normt=1e-6,
+                                   max_cycle=80)
+    conv_d, e_d, *_ = rccsd.kernel(er32, conv_tol=1e-8, conv_tol_normt=1e-6,
+                                   max_cycle=80, diis_backend="device")
+    assert conv_h, "host-ring fp32 baseline must converge"
+    assert conv_d, "fp32 device ring stalled below the production tolerance"
+    assert abs(e_h - e_d) < 5e-7
+    assert abs(e_d - E_CCSD) < 5e-5  # fp32 solve of the exact-factor DF
