@@ -550,8 +550,14 @@ def vector_to_amplitudes(vec, shapes):
 
 def kernel(eris: UERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
            diis_space=6, verbose=0, t1=None, t2=None, level_shift=0.0,
-           ntile=4):
-    """DIIS-accelerated UCCSD iteration.  Returns (converged, e, t1, t2)."""
+           ntile=4, diis_backend="host"):
+    """DIIS-accelerated UCCSD iteration.  Returns (converged, e, t1, t2).
+
+    diis_backend='device' keeps the DIIS ring in HBM (host-solve hybrid,
+    lib/device_diis.update_hostsolve): only the (nd+1)^2 B system and
+    convergence scalars cross the host link each cycle — the open-shell
+    production runs otherwise round-trip all five amplitude blocks
+    through the dev tunnel every cycle (same tradeoff as rccsd.kernel)."""
     from pyscf_mpcc_tpu.lib.diis import DIIS
     from pyscf_mpcc_tpu.lib import logger as lg
     log = lg.Logger(verbose=verbose)
@@ -562,7 +568,14 @@ def kernel(eris: UERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
         t2 = t2_0
     shapes = [x.shape for x in (*t1, *t2)]
     log.info("UCCSD MP2 init E_corr = %.14f", float(emp2))
-    diis = DIIS(space=diis_space)
+    if diis_backend == "device":
+        from pyscf_mpcc_tpu.lib import device_diis
+        n_all = sum(int(np.prod(s)) for s in shapes)
+        dstate = device_diis.init(n_all, diis_space, t2[1].dtype)
+        pack = jax.jit(lambda *xs: jnp.concatenate([x.ravel() for x in xs]))
+        vec_old = pack(*t1, *t2)
+    else:
+        diis = DIIS(space=diis_space)
     e_last = float(energy(t1, t2, eris))
     converged = False
     e = e_last
@@ -570,9 +583,18 @@ def kernel(eris: UERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
         t1new, t2new = update_amps(t1, t2, eris, level_shift, ntile=ntile)
         normt = sum(float(jnp.linalg.norm(a - b))
                     for a, b in zip((*t1new, *t2new), (*t1, *t2)))
-        vec = np.asarray(amplitudes_to_vector(t1new, t2new))
-        vec = diis.update(vec)
-        t1, t2 = vector_to_amplitudes(jnp.asarray(vec), shapes)
+        if diis_backend == "device":
+            vec_new = pack(*t1new, *t2new)
+            del t1new, t2new
+            dstate, vec = device_diis.update_hostsolve(dstate, vec_new,
+                                                       vec_new - vec_old)
+            del vec_new
+            vec_old = vec
+            t1, t2 = vector_to_amplitudes(vec, shapes)
+        else:
+            vec = np.asarray(amplitudes_to_vector(t1new, t2new))
+            vec = diis.update(vec)
+            t1, t2 = vector_to_amplitudes(jnp.asarray(vec), shapes)
         e = float(energy(t1, t2, eris))
         log.info("cycle %2d  E_corr(UCCSD) = %.14f  dE = %10.3e  |dt| = %9.3e",
                  it, e, e - e_last, normt)

@@ -80,6 +80,19 @@ def test_uccsd_converges_o2():
     assert abs(e - e_so) < 1e-8
 
 
+def test_uccsd_device_diis_matches_host():
+    """UCCSD with the on-device DIIS ring (host-solve hybrid) reaches the
+    same fixed point as the host ring."""
+    mf = _o2_uhf()
+    ue = _ueris(mf)
+    conv_h, e_h, *_ = uccsd.kernel(ue, conv_tol=1e-10, conv_tol_normt=1e-8,
+                                   max_cycle=100)
+    conv_d, e_d, *_ = uccsd.kernel(ue, conv_tol=1e-10, conv_tol_normt=1e-8,
+                                   max_cycle=100, diis_backend="device")
+    assert conv_h and conv_d
+    assert abs(e_h - e_d) < 1e-8
+
+
 def test_umpccsd_all_frozen_is_mp2():
     mf = _o2_uhf()
     ue = _ueris(mf)
