@@ -143,8 +143,12 @@ def main():
     if "--certify" in sys.argv:
         # fp64 Lagrangian certification (docs/PARITY.md protocol)
         t0 = time.time()
+        # vjp live set ~doubles the forward's (w8_parity_certify
+        # _lambda_ntile): double the ladder tile count so the Lambda
+        # solve co-fits with its own device DIIS ring
         cl, l1, l2 = lambda_ad.kernel(t1, t2, er, conv_tol=3e-6,
                                       max_cycle=60, verbose=4,
+                                      ntile=min(2 * max(ntile, 1), nvir),
                                       diis_backend=diis_backend)
         np.savez(os.path.join(_HERE, "..", ".scratch", "benzene_amps.npz"),
                  t1=np.asarray(t1), t2=np.asarray(t2),
