@@ -94,14 +94,19 @@ def stage_fp32():
                             dtype=jnp.float32)
     print(f"[{time.time()-t0:7.1f}s] fp32 DF-UCCSD eris on device "
           f"(device={jax.devices()[0].platform})", flush=True)
+    # on-device DIIS ring (host-solve hybrid): only scalars + the tiny
+    # B system cross the dev tunnel per cycle
+    diis_backend = os.environ.get("OS_DIIS_BACKEND", "device")
     conv, e32, t1, t2 = uccsd.kernel(er, conv_tol=1e-8,
                                      conv_tol_normt=1e-6,
-                                     max_cycle=100, verbose=5)
+                                     max_cycle=100, verbose=5,
+                                     diis_backend=diis_backend)
     print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(DF-UCCSD) = {e32:.10f} "
           f"converged={conv}", flush=True)
     assert conv
     convl, l1, l2 = lambda_ad.kernel_u(t1, t2, er, conv_tol=3e-6,
-                                       max_cycle=60, verbose=5)
+                                       max_cycle=60, verbose=5,
+                                       diis_backend=diis_backend)
     print(f"[{time.time()-t0:7.1f}s] ulambda converged={convl}",
           flush=True)
     et = uccsd_t.kernel(t1, t2, er, tile=4)

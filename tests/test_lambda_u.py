@@ -58,6 +58,29 @@ def test_ulambda_lagrangian_derivative():
     assert abs(dpred - dfd) < 1e-8
 
 
+def test_ulambda_device_diis_matches_host():
+    """kernel_u with the on-device ring (host-solve hybrid) reaches the
+    same multipliers as the host ring."""
+    mol = gto.M(atom=[[8, (0, 0, 0)], [1, (0, -0.757, 0.587)],
+                      [1, (0, 0.757, 0.587)]], basis="sto-3g")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-13
+    mf.kernel()
+    eri = gto.intor_eri(mol)
+    f = mf.get_fock(mf.make_rdm1())
+    ue = uccsd.make_eris_incore(eri, mf.mo_coeff, mf.mo_coeff, f, f, 5, 5)
+    conv, _, t1u, t2u = uccsd.kernel(ue, conv_tol=1e-12,
+                                     conv_tol_normt=1e-10, max_cycle=150)
+    assert conv
+    ch, l1h, l2h = lambda_ad.kernel_u(t1u, t2u, ue, conv_tol=1e-9,
+                                      max_cycle=80)
+    cd, l1d, l2d = lambda_ad.kernel_u(t1u, t2u, ue, conv_tol=1e-9,
+                                      max_cycle=80, diis_backend="device")
+    assert ch and cd
+    for a, b in zip((*l1h, *l2h), (*l1d, *l2d)):
+        assert float(jnp.abs(a - b).max()) < 1e-8
+
+
 def test_masked_lambda_frozen_convention_r_vs_u():
     """Frozen lambda blocks hold their incoming (t) values in BOTH the
     restricted and unrestricted solvers (the reference umpccsd_lambda
