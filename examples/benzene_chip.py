@@ -40,10 +40,27 @@ H   -2.146012   -1.239000    0.000000
 H   -2.146012    1.239000    0.000000
 """
 
-REFERENCE_CCSD_SEC = 477.0
+# reference benchmark table rows (doc_legacy/source/benchmark.rst:44-52):
+# basis -> (CCSD total solve s, MP2 s) on the 16-core Xeon
+_REFERENCE_ROWS = {
+    "cc-pvtz": (477.0, 4.66),
+    "6-31g**": (18.24, None),
+}
 
 
-SCF_CACHE = os.path.join(_HERE, "..", ".scratch", "benzene_scf.npz")
+def _basis():
+    if "--basis" in sys.argv:
+        return sys.argv[sys.argv.index("--basis") + 1].lower()
+    return "cc-pvtz"
+
+
+REFERENCE_CCSD_SEC = _REFERENCE_ROWS.get(_basis(), (None, None))[0]
+
+
+SCF_CACHE = os.path.join(
+    _HERE, "..", ".scratch",
+    "benzene_scf.npz" if _basis() == "cc-pvtz"
+    else "benzene_scf_%s.npz" % _basis().replace("*", "s").replace("/", ""))
 
 
 def run_scf():
@@ -53,7 +70,7 @@ def run_scf():
     from pyscf_mpcc_tpu import gto
     from pyscf_mpcc_tpu.scf import RHF
 
-    mol = gto.M(atom=BENZENE, basis="cc-pvtz", unit="angstrom")
+    mol = gto.M(atom=BENZENE, basis=_basis(), unit="angstrom")
     mf = RHF(mol).density_fit()
     mf.conv_tol = 1e-10
     mf.kernel()

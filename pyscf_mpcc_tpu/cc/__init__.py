@@ -1,3 +1,7 @@
+from pyscf_mpcc_tpu.lib.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()   # warm-start repeat processes (see module doc)
+
 from pyscf_mpcc_tpu.cc.driver import CCSD, RCCSDDriver, UCCSDDriver
 from pyscf_mpcc_tpu.cc import (ccsd_t, ccsdt_act, ccsdt_env, eris,
                                gccsd_slow, gccsd_t_slow, lambda_ad,

@@ -65,6 +65,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     energy has no iteration to clean single-pass-bf16 rounding, so
     production runs need 'high' or 'highest' here (or the global flag).
     """
+    from pyscf_mpcc_tpu.lib.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     nocc, nvir = t1.shape
     if dtype is None:
         dtype = t2.dtype

@@ -560,6 +560,8 @@ def kernel(eris: UERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
     through the dev tunnel every cycle (same tradeoff as rccsd.kernel)."""
     from pyscf_mpcc_tpu.lib.diis import DIIS
     from pyscf_mpcc_tpu.lib import logger as lg
+    from pyscf_mpcc_tpu.lib.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     log = lg.Logger(verbose=verbose)
     emp2, t1_0, t2_0 = init_amps(eris)
     if t1 is None:

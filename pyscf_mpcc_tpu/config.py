@@ -38,6 +38,13 @@ CCSD_T_TILE = 0
 # DF vvvv-ladder tile count (0 = memory governor)
 CCSD_LADDER_NTILE = 0
 
+# persistent XLA compilation cache directory (lib/compile_cache.py):
+# compiled executables are serialized here so repeat processes start
+# warm (PES scanners, fragment loops, preemption restarts, small jobs).
+# "" disables.  Enabled lazily by the correlation drivers.
+COMPILATION_CACHE_DIR = os.path.join(
+    os.environ.get("HOME", "."), ".cache", "pyscf_mpcc_tpu", "xla")
+
 # basis library search path (gto/basis.py also honors this)
 BASIS_PATH = os.environ.get("PYSCF_MPCC_TPU_BASIS_PATH", "")
 

@@ -1,0 +1,55 @@
+"""Persistent XLA compilation cache.
+
+TPU-native production feature with no reference counterpart (the
+reference's C kernels are ahead-of-time compiled, so it never pays a
+per-process compile): under ``jit`` every (program, shape) pair costs a
+20-40 s XLA compile on first use, which dominates wall time for
+small-molecule jobs (benzene/6-31G** CCSD is ~2 s of MXU work behind
+~80 s of compiles) and for repeated production drivers (PES scanners,
+per-fragment MPCC solves, preemption restarts).  Serializing compiled
+executables to disk makes every repeat process start warm — the TPU
+analog of the reference shipping prebuilt ``libcc.so``.
+
+Enabled by default via :data:`config.COMPILATION_CACHE_DIR`; set the
+``PYSCF_MPCC_TPU_COMPILATION_CACHE_DIR`` env var to relocate it or to
+"" to disable.  Safe to call any time before the first compile; calling
+after some compiles simply caches later ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+_enabled_dir = None
+
+
+def enable_compilation_cache(dirpath: str | None = None,
+                             min_compile_secs: float = 0.5) -> str | None:
+    """Point JAX's persistent compilation cache at ``dirpath``.
+
+    Returns the cache directory in use, or None if disabled (empty
+    path) or the flags are unavailable.  Idempotent.
+    """
+    global _enabled_dir
+    from pyscf_mpcc_tpu import config
+
+    d = dirpath if dirpath is not None else config.getattr_cfg(
+        "COMPILATION_CACHE_DIR", "")
+    if not d:
+        return None
+    d = os.path.abspath(os.path.expanduser(d))
+    if _enabled_dir == d:
+        return d
+    try:
+        import jax
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        # cache every executable worth a disk read: CC programs are huge
+        # but even mid-sized SCF/MP2 kernels repay caching
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        return None
+    _enabled_dir = d
+    return d

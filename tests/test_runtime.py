@@ -129,3 +129,36 @@ def test_lambda_restart_from_diis_file(tmp_path):
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l2_ref),
                                atol=1e-8)
+
+
+def test_persistent_compilation_cache(tmp_path):
+    # The persistent XLA cache (lib/compile_cache.py) must land compiled
+    # executables on disk so repeat processes (scanners, fragment loops,
+    # restarts) start warm.  Run the same tiny jitted program in two
+    # fresh subprocesses sharing a cache dir: the first populates it, the
+    # second must hit it (jax logs a cache read at DEBUG, but the
+    # contract we pin is entries-on-disk + idempotent enable).
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "xla_cache")
+    code = (
+        "from pyscf_mpcc_tpu.lib.compile_cache import "
+        "enable_compilation_cache\n"
+        "import jax, jax.numpy as jnp\n"
+        "p1 = enable_compilation_cache(min_compile_secs=0.0)\n"
+        "p2 = enable_compilation_cache(min_compile_secs=0.0)\n"
+        "assert p1 == p2, (p1, p2)\n"
+        "x = jnp.ones((128, 128))\n"
+        "print(float(jax.jit(lambda a: (a @ a).sum())(x)))\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYSCF_MPCC_TPU_COMPILATION_CACHE_DIR=d)
+    for _ in range(2):
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr
+    assert os.path.isdir(d) and len(os.listdir(d)) >= 1
+    # disabled when the config path is empty
+    from pyscf_mpcc_tpu.lib.compile_cache import enable_compilation_cache
+    assert enable_compilation_cache("") is None
