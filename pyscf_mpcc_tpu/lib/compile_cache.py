@@ -14,13 +14,42 @@ Enabled by default via :data:`config.COMPILATION_CACHE_DIR`; set the
 ``PYSCF_MPCC_TPU_COMPILATION_CACHE_DIR`` env var to relocate it or to
 "" to disable.  Safe to call any time before the first compile; calling
 after some compiles simply caches later ones.
+
+Portability caveat: JAX keys cache entries by program/topology, not by
+host CPU features, so XLA:CPU executables cached under a $HOME shared
+across heterogeneous nodes can be loaded on a machine whose CPU lacks
+the instruction set they were compiled for (JAX logs a SIGILL warning).
+To mitigate, the default directory is scoped per backend+machine
+architecture (see :func:`_default_scoped_dir`); point the env var at a
+host-local path if your cluster shares $HOME across different CPU
+generations of the same architecture.
 """
 
 from __future__ import annotations
 
 import os
+import platform
 
 _enabled_dir = None
+
+
+def _default_scoped_dir(base: str) -> str:
+    """Scope the default cache dir per configured platform + machine
+    architecture so a $HOME shared across heterogeneous nodes never
+    mixes executables compiled for different hosts (JAX does not key
+    entries on host CPU features; a mismatch can SIGILL).
+
+    Must not initialize the XLA backend (we are called at subpackage
+    import time, possibly before jax.distributed.initialize), so this
+    reads the *configured* platform string rather than
+    jax.default_backend()."""
+    try:
+        import jax
+        backend = jax.config.jax_platforms or "auto"
+    except Exception:
+        backend = "unknown"
+    backend = backend.replace(",", "+")
+    return os.path.join(base, "%s-%s" % (backend, platform.machine()))
 
 
 def enable_compilation_cache(dirpath: str | None = None,
@@ -33,11 +62,15 @@ def enable_compilation_cache(dirpath: str | None = None,
     global _enabled_dir
     from pyscf_mpcc_tpu import config
 
+    explicit = dirpath is not None or bool(
+        os.environ.get("PYSCF_MPCC_TPU_COMPILATION_CACHE_DIR"))
     d = dirpath if dirpath is not None else config.getattr_cfg(
         "COMPILATION_CACHE_DIR", "")
     if not d:
         return None
     d = os.path.abspath(os.path.expanduser(d))
+    if not explicit:
+        d = _default_scoped_dir(d)
     if _enabled_dir == d:
         return d
     try:

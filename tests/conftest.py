@@ -16,3 +16,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def clean_child_env(**extra):
+    """Environment for subprocess tests: force the CPU backend and strip
+    any experimental accelerator-plugin wiring (plugin site dirs on
+    PYTHONPATH and their env vars) so the child never tries to
+    initialize a tunneled device platform and hang."""
+    env = {k: v for k, v in os.environ.items()
+           if not (k.startswith(("AXON_", "PALLAS_AXON", "TPU_"))
+                   or k == "LIBTPU_INIT_ARGS")}
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon_site" not in p]
+    if pp:
+        env["PYTHONPATH"] = os.pathsep.join(pp)
+    else:
+        env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra)
+    return env

@@ -26,9 +26,9 @@ def _free_port():
 def test_two_process_psum_and_sharded_ladder():
     worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
     port = str(_free_port())
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env.pop("JAX_PLATFORMS", None)
+    from conftest import clean_child_env
+    env = clean_child_env(
+        XLA_FLAGS="--xla_force_host_platform_device_count=2")
     procs = [subprocess.Popen([sys.executable, worker, str(r), port],
                               env=env, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)

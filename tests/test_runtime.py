@@ -152,8 +152,8 @@ def test_persistent_compilation_cache(tmp_path):
         "x = jnp.ones((128, 128))\n"
         "print(float(jax.jit(lambda a: (a @ a).sum())(x)))\n"
     )
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
-               PYSCF_MPCC_TPU_COMPILATION_CACHE_DIR=d)
+    from conftest import clean_child_env
+    env = clean_child_env(PYSCF_MPCC_TPU_COMPILATION_CACHE_DIR=d)
     for _ in range(2):
         r = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, timeout=300)
