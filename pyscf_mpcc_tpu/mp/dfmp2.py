@@ -105,6 +105,91 @@ def _relaxed_rdm1_ao(B_ao, C0, h_ao, t2, nocc, ps=1.0, pt=1.0):
     return jax.grad(lagrangian)(h_ao)
 
 
+@partial(jax.jit, static_argnames=("nocc", "nfro", "ps", "pt"))
+def _relaxed_rdm1_ao_frozen(B_ao, C0, h_ao, t2, nocc, nfro, ps=1.0, pt=1.0):
+    """Frozen-core relaxed density (reference dfmp2_native.py:146-181
+    supports frozen; the round-3 code raised NotImplementedError).
+
+    With a frozen core the correlation energy is no longer invariant
+    under occupied-occupied rotations that mix frozen and active
+    orbitals, so the plain vo Z-vector is not enough.  The constrained
+    Lagrangian gains the frozen-active canonicality conditions:
+
+        L(h) = E_HF + E_Hyl + z_vo . g_HF_vo(kappa,h) + z_fa . F_fa(kappa,h)
+
+    where F_fa is the frozen x active-occ block of the MO Fock (zero for
+    the converged canonical reference).  Stationarity in kappa over both
+    blocks gives one linear system J^T z = -dE_Hyl/dkappa with J the
+    constraint Jacobian -- nonsymmetric because the canonicality rows
+    are not the gradient of a scalar, hence GMRES on the constraint vjp
+    instead of the CG/HVP used in the no-frozen path.  All occ-occ
+    (active-active) and vir-vir rotations remain multiplier-free: E_Hyl
+    at stationary t2 is invariant under them.
+
+    nocc = total occupied INCLUDING the nfro frozen; t2 spans active occ.
+    """
+    nmo = C0.shape[1]
+    nvir = nmo - nocc
+    nact = nocc - nfro
+
+    def cayley2(kvo, kfa):
+        K = jnp.zeros((nmo, nmo), kvo.dtype)
+        K = K.at[nocc:, :nocc].set(kvo)
+        K = K.at[:nfro, nfro:nocc].set(kfa)
+        K = K - K.T
+        eye = jnp.eye(nmo, dtype=kvo.dtype)
+        return jnp.linalg.solve(eye - 0.5 * K, eye + 0.5 * K)
+
+    def fock_ao(kvo, kfa, h):
+        C = C0 @ cayley2(kvo, kfa)
+        Co = C[:, :nocc]
+        P = 2.0 * Co @ Co.T
+        J, K = _jk(B_ao, P)
+        return C, P, h + J - 0.5 * K
+
+    def e_hf(kvo, kfa, h):
+        C, P, f = fock_ao(kvo, kfa, h)
+        return jnp.sum(P * h) + 0.5 * jnp.sum(P * (f - h))
+
+    def e_hyl(kvo, kfa, h):
+        C, P, f = fock_ao(kvo, kfa, h)
+        Co = C[:, nfro:nocc]
+        Cv = C[:, nocc:]
+        foo = Co.T @ f @ Co
+        fvv = Cv.T @ f @ Cv
+        Lov = jnp.einsum("Lpq,pi,qa->Lia", B_ao, Co, Cv)
+        V = jnp.einsum("Lia,Ljb->ijab", Lov, Lov)
+        tt = (ps + pt) * t2 - pt * t2.transpose(0, 1, 3, 2)
+        Ft = (jnp.einsum("ac,ijcb->ijab", fvv, t2)
+              + jnp.einsum("bc,ijac->ijab", fvv, t2)
+              - jnp.einsum("ik,kjab->ijab", foo, t2)
+              - jnp.einsum("jk,ikab->ijab", foo, t2))
+        return (2.0 * jnp.einsum("ijab,ijab->", tt, V)
+                + jnp.einsum("ijab,ijab->", tt, Ft))
+
+    def constraints(kvo, kfa, h):
+        g_vo = jax.grad(e_hf, argnums=0)(kvo, kfa, h)
+        C, P, f = fock_ao(kvo, kfa, h)
+        c_fa = C[:, :nfro].T @ f @ C[:, nfro:nocc]
+        return g_vo, c_fa
+
+    k0v = jnp.zeros((nvir, nocc), t2.dtype)
+    k0f = jnp.zeros((nfro, nact), t2.dtype)
+    g_hyl = jax.grad(e_hyl, argnums=(0, 1))(k0v, k0f, h_ao)
+
+    _, c_vjp = jax.vjp(lambda kv, kf: constraints(kv, kf, h_ao), k0v, k0f)
+    z, _ = jax.scipy.sparse.linalg.gmres(
+        lambda zz: c_vjp(zz), jax.tree.map(lambda g: -g, g_hyl),
+        tol=1e-10, atol=0.0, maxiter=400)
+
+    def lagrangian(h):
+        c = constraints(k0v, k0f, h)
+        return (e_hf(k0v, k0f, h) + e_hyl(k0v, k0f, h)
+                + jnp.vdot(z[0], c[0]) + jnp.vdot(z[1], c[1]))
+
+    return jax.grad(lagrangian)(h_ao)
+
+
 @partial(jax.jit, static_argnames=("nocc",))
 def _unrelaxed_rdm1_ao(C0, t2, nocc):
     dm_mo = mp2_mod.make_rdm1(t2, nocc)
@@ -170,17 +255,24 @@ class DFRMP2:
             self.kernel()
         C = jnp.asarray(self.mo_coeff)
         if relaxed:
-            if self.frozen:
-                raise NotImplementedError("frozen-core relaxed densities")
             h = jnp.asarray(self._scf.get_hcore())
-            dm_ao = _relaxed_rdm1_ao(self.B_ao, C, h, self.t2, self.nocc,
-                                     ps=self.ps, pt=self.pt)
+            if self.frozen:
+                Cfull = jnp.asarray(self._scf.mo_coeff)
+                dm_ao = _relaxed_rdm1_ao_frozen(
+                    self.B_ao, Cfull, h, self.t2,
+                    self.nocc + self.frozen, self.frozen,
+                    ps=self.ps, pt=self.pt)
+            else:
+                dm_ao = _relaxed_rdm1_ao(self.B_ao, C, h, self.t2,
+                                         self.nocc, ps=self.ps, pt=self.pt)
         else:
             dm_ao = _unrelaxed_rdm1_ao(C, self.t2, self.nocc)
         if ao_repr:
             return np.asarray(dm_ao)
+        Cproj = jnp.asarray(self._scf.mo_coeff) if (relaxed and self.frozen) \
+            else C
         S = jnp.asarray(self._scf.get_ovlp())
-        proj = S @ C
+        proj = S @ Cproj
         return np.asarray(proj.T @ dm_ao @ proj)
 
     def make_rdm1_unrelaxed(self, ao_repr=False):

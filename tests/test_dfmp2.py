@@ -89,6 +89,38 @@ def test_scs_relaxed_rdm1_finite_difference():
     assert abs(float(np.sum(g_rel * V)) - de_fd) < 5e-7
 
 
+def test_frozen_core_relaxed_rdm1_finite_difference():
+    # reference dfmp2_native.py:146-181 supports frozen-core relaxed
+    # densities; ours solves the constrained Lagrangian with the extra
+    # frozen-active canonicality multipliers (GMRES on the constraint
+    # vjp).  Gold standard: analytic response == finite difference of
+    # the fully-relaxed frozen-core SCF+MP2 total energy.
+    mol = _mol()
+    rng = np.random.default_rng(11)
+    nao = _mf(mol).mo_coeff.shape[0]
+    V = rng.standard_normal((nao, nao)) * 0.01
+    V = V + V.T
+
+    def e_tot(x):
+        mf = _mf(_mol(), dh=x * V)
+        return DFRMP2(mf, frozen=1).run().e_tot
+
+    x = 2e-4
+    de_fd = (e_tot(x) - e_tot(-x)) / (2 * x)
+
+    m = DFRMP2(_mf(_mol()), frozen=1).run()
+    g_rel = m.make_rdm1(relaxed=True, ao_repr=True)
+    de_an = float(np.sum(g_rel * V))
+    assert abs(de_an - de_fd) < 5e-7
+
+    # without the frozen-active multipliers the response is wrong:
+    # the unrelaxed density misses it by far more
+    g_unrel = m.make_rdm1(relaxed=False, ao_repr=True)
+    # unrelaxed misses the HF part entirely (correlation-only), so
+    # compare against the relaxed error scale
+    assert abs(float(np.sum(g_unrel * V)) - de_fd) > 10 * abs(de_an - de_fd)
+
+
 def test_natorbs_trace_and_order():
     mol = _mol()
     m = DFRMP2(_mf(mol)).run()

@@ -61,8 +61,15 @@ int CVHFnoscreen(int *shls, void *opt, int *atm, int *bas, double *env)
 EOF
 
 CFLAGS="-O2 -fPIC -fopenmp -I$BUILD -I$REF/lib -shared"
-# no BLAS dev package in this image: link the runtime .so.3 directly
-BLAS="-l:libblas.so.3 -l:liblapack.so.3 -L/lib/x86_64-linux-gnu"
+# no BLAS dev package in this image: prefer the OpenBLAS bundled with
+# opencv (standard dgemm_/dsyev_ exports, ~5-10x netlib single-core),
+# fall back to the system netlib runtime .so.3
+OPENBLAS=$(ls /opt/venv/lib/python3*/site-packages/opencv_python.libs/libopenblasp-*.so 2>/dev/null | head -1)
+if [ -n "$OPENBLAS" ]; then
+  BLAS="$OPENBLAS -Wl,-rpath,$(dirname "$OPENBLAS")"
+else
+  BLAS="-l:libblas.so.3 -l:liblapack.so.3 -L/lib/x86_64-linux-gnu"
+fi
 
 # ---------------------------------------------------------------- libraries
 gcc $CFLAGS -o "$SHIM/lib/libnp_helper.so" \
@@ -96,6 +103,28 @@ ORACLE_ABORT(ECPscalar_cache_size)
 ORACLE_ABORT(ECPscalar_c2s_factory)
 ORACLE_ABORT(ECPscalar)
 ORACLE_ABORT(GTOmax_cache_size)
+/* dft/libxc.py sets ctypes prototypes AND enumerates functionals at
+   import time: report an empty libxc (DFT is out of oracle scope) */
+const char *LIBXC_version(void) { return "0.0-oracle-stub"; }
+const char *LIBXC_reference(void) { return "oracle stub"; }
+const char *LIBXC_reference_doi(void) { return "oracle stub"; }
+int LIBXC_number_of_functionals(void) { return 0; }
+void LIBXC_functional_numbers(int *nums) { (void)nums; }
+const char *LIBXC_functional_name(int n) { (void)n; return ""; }
+ORACLE_ABORT(LIBXC_eval_xc)
+ORACLE_ABORT(LIBXC_hybrid_coeff)
+ORACLE_ABORT(LIBXC_is_cam_rsh)
+ORACLE_ABORT(LIBXC_is_gga)
+ORACLE_ABORT(LIBXC_is_hybrid)
+ORACLE_ABORT(LIBXC_is_lda)
+ORACLE_ABORT(LIBXC_is_meta_gga)
+ORACLE_ABORT(LIBXC_is_nlc)
+ORACLE_ABORT(LIBXC_max_deriv_order)
+ORACLE_ABORT(LIBXC_needs_laplacian)
+ORACLE_ABORT(LIBXC_nlc_coeff)
+ORACLE_ABORT(LIBXC_rsh_coeff)
+ORACLE_ABORT(LIBXC_xc_reference)
+ORACLE_ABORT(xc_functional_get_number)
 EOF
 for name in cgto ri dft xc_itrf fci mcscf pbc agf2; do
   gcc -O0 -fPIC -shared -o "$SHIM/lib/lib$name.so" "$BUILD/empty.c"
