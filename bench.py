@@ -160,9 +160,11 @@ def run_parity(cfg):
 
 
 def run_triples(cfg):
-    """(T) throughput child: probe the Pallas engines (v2 then v1), fall
-    back to pure XLA; report every engine that ran so a Mosaic regression
-    is visible in the record, headline the fastest."""
+    """(T) throughput child: probe the grid-batched fused engine over a
+    chunk-size sweep, fall back to pure XLA; HEADLINE IS DOT-HIGH
+    PRECISION (bf16x3 W dots + fp32 kernel dots — the cheapest precision
+    docs/PARITY.md certifies production-adequate for a one-shot (T);
+    plain-bf16 'default' is recorded but never headlined)."""
     import time as _time
     import jax
     import jax.numpy as jnp
@@ -182,62 +184,55 @@ def run_triples(cfg):
     M._tile_triples = lambda nvt: orig(nvt)[:nprobe]
     fpt = (2 * 6 * tile**3 * nocc**3 * nvp + 2 * 6 * tile**3 * nocc**4
            + 2 * 6 * naux * nocc * tile * nvp * tile)
+
+    def probe(**kw):
+        e = M.kernel(t1, t2, eris, tile=tile, tiles_per_call=nprobe,
+                     **kw)                      # compile + warm
+        t0 = _time.perf_counter()
+        e = M.kernel(t1, t2, eris, tile=tile, tiles_per_call=nprobe,
+                     **kw)
+        dt = _time.perf_counter() - t0
+        return dict(tflops=round(fpt * nprobe / dt / 1e12, 2),
+                    probe_sec=round(dt, 3),
+                    energy_finite=bool(np.isfinite(e))), dt
+
     tried = {}
     best = None
-    # fastest-first (measured 2026-08-18 on v5e at bench shape: fused
-    # 7.6 ms/tile, fused3 10.1, fused2 11.3) so the headline engine is
-    # recorded even if the budget cuts the probe short
-    for engine in cfg.get("engines", ["fused", "fused3", "fused2"]):
+    for K in cfg.get("chunks", [16, 8, 4, 1]):
+        label = "fused:K%d" % K
         try:
-            e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
-                         tiles_per_call=nprobe)      # compile + warm
-            t0 = _time.perf_counter()
-            e = M.kernel(t1, t2, eris, tile=tile, engine=engine,
-                         tiles_per_call=nprobe)
-            dt = _time.perf_counter() - t0
-            tried[engine] = dict(tflops=round(fpt * nprobe / dt / 1e12, 2),
-                                 probe_sec=round(dt, 3),
-                                 energy_finite=bool(np.isfinite(e)))
+            tried[label], dt = probe(engine="fused", chunk=K,
+                                     dot_precision="high")
             if best is None or dt < tried[best]["probe_sec"]:
-                best = engine
+                best = label
         except Exception as ex:
-            tried[engine] = dict(error=f"{type(ex).__name__}")
+            tried[label] = dict(error=f"{type(ex).__name__}")
     if best is None:
         # Mosaic/compile regression in every Pallas path must not cost
         # the round its (T) measurement — measure the pure-XLA engine
         best = "xla"
-        e = M.kernel(t1, t2, eris, tile=tile, engine=best,
-                     tiles_per_call=nprobe)
-        t0 = _time.perf_counter()
-        e = M.kernel(t1, t2, eris, tile=tile, engine=best,
-                     tiles_per_call=nprobe)
-        dt = _time.perf_counter() - t0
-        tried[best] = dict(tflops=round(fpt * nprobe / dt / 1e12, 2),
-                           probe_sec=round(dt, 3),
-                           energy_finite=bool(np.isfinite(e)))
+        tried[best], _ = probe(engine="xla", dot_precision="high")
     bt = tried[best]
     out = dict(tflops=bt["tflops"],
-               est_full_sec=bt["probe_sec"] / nprobe * ntiles,
+               est_full_sec=round(bt["probe_sec"] / nprobe * ntiles, 1),
                ntiles=ntiles, probe_sec=bt["probe_sec"],
                energy_finite=bt["energy_finite"], engine=best,
-               precision="default", engines_tried=tried)
-    # production (T) energies need true-fp32 matmuls (a one-shot energy
-    # has no iteration to clean bf16 rounding; Mosaic lowers only
-    # DEFAULT/HIGHEST for in-kernel dots) — record that speed too
-    try:
-        jax.config.update("jax_default_matmul_precision", "highest")
-        e = M.kernel(t1, t2, eris, tile=tile, engine=best,
-                     tiles_per_call=nprobe)
-        t0 = _time.perf_counter()
-        e = M.kernel(t1, t2, eris, tile=tile, engine=best,
-                     tiles_per_call=nprobe)
-        dt = _time.perf_counter() - t0
-        out["precision_highest"] = dict(
-            tflops=round(fpt * nprobe / dt / 1e12, 2),
-            est_full_sec=round(dt / nprobe * ntiles, 1),
-            energy_finite=bool(np.isfinite(e)))
-    except Exception as ex:
-        out["precision_highest"] = dict(error=f"{type(ex).__name__}")
+               precision="dot-high", engines_tried=tried)
+    best_kw = (dict(engine="xla") if best == "xla" else
+               dict(engine="fused", chunk=int(best.split("K")[1])))
+    # bracket the headline: plain-bf16 'default' (NOT production-
+    # adequate, PARITY.md) and true-fp32 'highest'
+    for label, pkw in (("precision_default", {}),
+                       ("precision_highest",
+                        dict(dot_precision="highest"))):
+        try:
+            r, _ = probe(**best_kw, **pkw)
+            out[label] = dict(tflops=r["tflops"],
+                              est_full_sec=round(
+                                  r["probe_sec"] / nprobe * ntiles, 1),
+                              energy_finite=r["energy_finite"])
+        except Exception as ex:
+            out[label] = dict(error=f"{type(ex).__name__}")
     return out
 
 

@@ -36,7 +36,11 @@ import time
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(_HERE, ".."))
 
-SCRATCH = os.path.join(_HERE, "..", ".scratch", "w8_parity")
+# Checkpoints (SCF integrals + converged amplitudes/multipliers) default
+# to a dir OUTSIDE .scratch — round 3 lost an 8900 s stage64 rerun when a
+# machine restart wiped .scratch; .campaign/ is kept across rounds.
+SCRATCH = os.environ.get(
+    "W8_SCRATCH", os.path.join(_HERE, "..", ".campaign", "w8_parity"))
 FROZEN = 8
 
 
@@ -220,16 +224,19 @@ def stage_fp64():
 def main():
     env = dict(os.environ)
     extra = [a for a in sys.argv[1:] if a == "--reuse-scf"]
+    # wall budgets from the round-3 campaign: stage32 CCSD+Lambda ~4100 s
+    # on a healthy tunnel (hours on a degraded one), stage64 ~8900 s on
+    # this single-core host
     r32 = subprocess.run([sys.executable, __file__, "--stage32"] + extra,
                          env=env,
-                         capture_output=True, text=True, timeout=3600)
+                         capture_output=True, text=True, timeout=6 * 3600)
     sys.stdout.write(r32.stdout)
     sys.stderr.write(r32.stderr[-2000:])
     if r32.returncode != 0:
         sys.exit(1)
     env["JAX_PLATFORMS"] = "cpu"
     r64 = subprocess.run([sys.executable, __file__, "--stage64"], env=env,
-                         capture_output=True, text=True, timeout=3600)
+                         capture_output=True, text=True, timeout=6 * 3600)
     sys.stdout.write(r64.stdout)
     sys.stderr.write(r64.stderr[-2000:])
     if r64.returncode != 0:

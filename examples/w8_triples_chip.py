@@ -12,9 +12,10 @@ permutation epilogue).
 
 Usage:  python examples/w8_triples_chip.py [runs] [tile]
         runs: comma list of engine:precision combos, e.g.
-              "fused3:highest,fused3:default,fused:highest"
-              (default "fused3:highest"); engine in {fused3, fused2,
-              fused, xla}, precision in {default, highest}
+              "fused:dot-high,fused:highest" (default "fused:dot-high");
+              engine in {fused, xla} ('fused' is the grid-batched chunk
+              path), precision in {default, highest, dot-high,
+              dot-highest}
         One process runs every combo — the eris build over the dev
         tunnel (~10 min) is paid once.
 
@@ -47,7 +48,7 @@ FROZEN = 8
 
 
 def main():
-    runs = (sys.argv[1] if len(sys.argv) > 1 else "fused3:highest").split(",")
+    runs = (sys.argv[1] if len(sys.argv) > 1 else "fused:dot-high").split(",")
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
     t0 = time.time()

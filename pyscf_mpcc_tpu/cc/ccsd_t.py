@@ -39,7 +39,7 @@ _SCAN_CACHE = {}
 
 def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
            act_hole=None, act_particle=None, mode="exclude_active",
-           mesh=None, engine="auto", dot_precision=None):
+           mesh=None, engine="auto", dot_precision=None, chunk=8):
     """E(T) from converged (t1, t2) and an RERIs container (DF or full).
 
     Requires Lov/Lvv when ovvv is absent; ovoo/ovov/fock always.
@@ -64,6 +64,13 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     run at HIGHEST (Mosaic lowers only DEFAULT/HIGHEST).  A one-shot (T)
     energy has no iteration to clean single-pass-bf16 rounding, so
     production runs need 'high' or 'highest' here (or the global flag).
+
+    chunk: tiles per pallas_call in the fused engine.  The scan stacks K
+    tiles of XLA prep, then ONE kernel launch with grid (K, T, T)
+    processes them — amortizing the ~6 ms/tile dispatch the round-3
+    roofline measured for one-call-per-tile.  chunk=1 recovers the
+    per-tile form (still used on the mesh path).  HBM cost: K stacked
+    W streams (6·T³·nocc³ elements each).
     """
     from pyscf_mpcc_tpu.lib.compile_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -104,9 +111,12 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # axis (nocc^2 >= 128) or the virtual axis last.
     if engine == "auto":
         engine = "fused" if jax.default_backend() == "tpu" else "xla"
-    if engine not in ("fused", "fused2", "fused3", "fused4", "xla"):
+    if engine not in ("fused", "xla"):
+        # the round-2/3 engine study variants (fused2/3/4) were retired
+        # after the roofline settled the design (docs/PARITY.md "(T)
+        # engine roofline"); 'fused' is the winner + grid-batched chunks
         raise ValueError(f"unknown (T) engine {engine!r}; use 'fused', "
-                         "'fused2', 'fused3', 'fused4', 'xla' or 'auto'")
+                         "'xla' or 'auto'")
 
     # t2T[c, f, (j,k)] = t2[k, j, c, f]
     t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
@@ -114,7 +124,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # vooo[a, i, (j,m)] = (ia|jm)
     vooo = padv(eris.ovoo.astype(dtype).transpose(1, 0, 2, 3), [0])
     vooo = vooo.reshape(vooo.shape[0], nocc, nocc * nocc)
-    if engine in ("fused", "fused2", "fused3", "fused4"):
+    if engine == "fused":
         # swapped-pair layout t2Ts[c, f, (k,j)] and tile-axes-leading
         # oovv_T[x, y, i, j] = (ix|jy) for canonical-emission dots
         t2Ts = padv(t2.astype(dtype).transpose(2, 3, 0, 1), [0, 1])
@@ -156,7 +166,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # remote compile at production scale.
     big_arrays = dict(t2T=t2T, vooo=vooo, t1p=t1p,
                       fvo_p=fvo_p, ev_p=ev_p, eo=eo)
-    if engine in ("fused", "fused2", "fused3", "fused4"):
+    if engine == "fused":
         big_arrays["t2Ts"] = t2Ts
         big_arrays["oovv_T"] = oovv_T
     else:
@@ -299,19 +309,14 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
       return tile_energy
 
-    def make_tile_energy_fused(big, interpret=False, _v4=False):
-        """Scan body using the Pallas permutation-epilogue kernel: six XLA
-        dots emitted directly in canonical occupied order (two stored t2
-        pair layouts + operand-order choice; ops/triples_combine.W_PLAN),
-        small per-tile slices, then tile_energy_fused for W/V/Z/energy.
-
-        _v4=True pre-sums the six dots in XLA into the single
-        ((j,k)-fused, i) W stream and runs the b-basis kernel
-        (tile_energy_fused_v4) — 6x less streamed W traffic; see the v4
-        design note in ops/triples_combine.py."""
+    def make_prep_fused(big):
+        """Per-tile XLA prep for the Pallas epilogue: six canonical-
+        emission W dots (ops/triples_combine.W_PLAN) + the small per-tile
+        slices, returned as one tuple.  Shared by the per-tile scan body
+        (mesh path) and the grid-batched chunk path, where lax.scan
+        stacks these outputs with a leading chunk axis."""
         from pyscf_mpcc_tpu.ops.triples_combine import (
-            PERMS, W_PLAN, canonical_w1_sum6_5d, emit_w_dot,
-            tile_energy_fused, tile_energy_fused_v4)
+            PERMS, W_PLAN, emit_w_dot)
         t2T = big["t2T"]
         t2Ts = big["t2Ts"]
         vooo = big["vooo"]
@@ -319,20 +324,13 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
         t1p = big["t1p"]
         fvo_p = big["fvo_p"]
         ev_p = big["ev_p"]
-        eo = big["eo"]
         ovvv = big.get("ovvv")
         Lov = big.get("Lov")
         Lvv = big.get("Lvv")
-        act_occ = big.get("act_occ")
         act_vir = big.get("act_vir")
-        eijk = (eo[:, None, None] + eo[None, :, None]
-                + eo[None, None, :])
-        if act_occ is not None:
-            actocc3 = (act_occ[:, None, None] * act_occ[None, :, None]
-                       * act_occ[None, None, :])
         zi32 = jnp.int32(0)
 
-        def tile_energy(carry, abc):
+        def prep(abc):
             starts = tuple(jnp.int32(abc[r] * T) for r in range(3))
             if ovvv is None:
                 lo = [jax.lax.dynamic_slice(
@@ -358,10 +356,10 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             t2T_sl.update({("kj", r): jax.lax.dynamic_slice(
                 t2Ts, (s, zi32, zi32), (T, nvp, oo))
                 for r, s in enumerate(starts)})
-            w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
-                                 t2T_sl[(W_PLAN[p]["t2"], p[2])],
-                                 dtype, T, o, precision=prec)
-                      for p in PERMS]
+            w_list = tuple(emit_w_dot(p, ovb[(p[0], p[1])],
+                                      t2T_sl[(W_PLAN[p]["t2"], p[2])],
+                                      dtype, T, o, precision=prec)
+                           for p in PERMS)
             vooo_t = jnp.stack([jax.lax.dynamic_slice(
                 vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, oo, o)
                 for s in starts])
@@ -383,232 +381,80 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                              for s in starts])
             gabc = jnp.stack([s + jnp.arange(T, dtype=jnp.int32)
                               for s in starts])
-            if _v4:
-                warg = [canonical_w1_sum6_5d(w_list, T, o)]
-                tile_e = tile_energy_fused_v4
-            else:
-                warg = [w_list]
-                tile_e = tile_energy_fused
+            actv = None
+            if act_vir is not None:
+                actv = jnp.stack([jax.lax.dynamic_slice(
+                    act_vir, (s,), (T,)) for s in starts])
+            return (w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
+                    fvoc_t, gabc, evt) + ((actv,) if actv is not None
+                                          else ())
+        return prep
+
+    def _fused_shared(big):
+        eo_ = big["eo"]
+        eijk = (eo_[:, None, None] + eo_[None, :, None]
+                + eo_[None, None, :])
+        act_occ = big.get("act_occ")
+        actocc3 = None
+        if act_occ is not None:
+            actocc3 = (act_occ[:, None, None] * act_occ[None, :, None]
+                       * act_occ[None, None, :])
+        return eijk, actocc3
+
+    def make_tile_energy_fused(big, interpret=False):
+        """Per-tile scan body (one pallas_call per tile): retained for
+        the mesh-sharded path; the single-chip driver uses the
+        grid-batched chunk form below (~6 ms/tile dispatch amortized)."""
+        from pyscf_mpcc_tpu.ops.triples_combine import tile_energy_fused
+        prep = make_prep_fused(big)
+        eijk, actocc3 = _fused_shared(big)
+        has_act = big.get("act_occ") is not None
+
+        def tile_energy(carry, abc):
+            out = prep(abc)
+            (w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t, fvoc_t,
+             gabc, evt) = out[:10]
             kw = dict(interpret=interpret, kern_precision=kprec)
-            if act_occ is not None:
-                kw.update(actv=jnp.stack([jax.lax.dynamic_slice(
-                    act_vir, (s,), (T,)) for s in starts]),
-                    actocc=actocc3, act_mode=mode)
-            e = tile_e(*warg, vooo_t, t2p, oovv_t, t1_t,
-                       fvo_t, t1c_t, fvoc_t, eijk, gabc, evt, **kw)
+            if has_act:
+                kw.update(actv=out[10], actocc=actocc3, act_mode=mode)
+            e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
+                                  fvo_t, t1c_t, fvoc_t, eijk, gabc, evt,
+                                  **kw)
             return carry + e.astype(carry.dtype), e
 
         return tile_energy
 
-    def make_tile_energy_fused2(big, interpret=False):
-        """v2 scan body: the 6-way W1 sum and the V term are assembled in
-        XLA on canonical (ta,tb,tc,i,j,k) axes (minor-preserving transposes
-        fused into one add/write), so the Pallas kernel reads TWO tile
-        arrays instead of six and keeps only the w2 dots + Z combine +
-        reduction (ops/triples_combine.tile_energy_fused_v2)."""
+    def make_chunk_energy_fused(big, interpret=False):
+        """Grid-batched chunk body: lax.scan stacks K tiles of prep
+        outputs, then ONE pallas_call with grid (K, T, T) processes the
+        whole chunk (tile_energy_fused_chunk) — the reference's
+        one-OpenMP-region-for-all-abc-jobs amortization
+        (lib/cc/ccsd_t.c:378), TPU-style."""
         from pyscf_mpcc_tpu.ops.triples_combine import (
-            PERMS, W_PLAN, W1_RAW2, canonical_w1_sum4, emit_w_dot,
-            tile_energy_fused_v2)
-        t2T = big["t2T"]
-        t2Ts = big["t2Ts"]
-        vooo = big["vooo"]
-        oovv_T = big["oovv_T"]
-        t1p = big["t1p"]
-        fvo_p = big["fvo_p"]
-        ev_p = big["ev_p"]
-        eo = big["eo"]
-        ovvv = big.get("ovvv")
-        Lov = big.get("Lov")
-        Lvv = big.get("Lvv")
-        act_occ = big.get("act_occ")
-        act_vir = big.get("act_vir")
-        eijk = (eo[:, None, None] + eo[None, :, None]
-                + eo[None, None, :])
-        if act_occ is not None:
-            actocc3 = (act_occ[:, None, None] * act_occ[None, :, None]
-                       * act_occ[None, None, :])
-        zi32 = jnp.int32(0)
+            tile_energy_fused_chunk)
+        prep = make_prep_fused(big)
+        eijk, actocc3 = _fused_shared(big)
+        has_act = big.get("act_occ") is not None
 
-        def tile_energy(carry, abc):
-            starts = tuple(jnp.int32(abc[r] * T) for r in range(3))
-            if ovvv is None:
-                lo = [jax.lax.dynamic_slice(
-                    Lov, (zi32, zi32, s), (Lov.shape[0], o, T))
-                    for s in starts]
-                lv = [jax.lax.dynamic_slice(
-                    Lvv, (zi32, zi32, s), (Lvv.shape[0], nvp, T))
-                    for s in starts]
-            ovb = {}
-            for (xi, yi) in set((p[0], p[1]) for p in PERMS):
-                if ovvv is not None:
-                    blk = jax.lax.dynamic_slice(
-                        ovvv, (zi32, starts[xi], zi32, starts[yi]),
-                        (o, T, nvp, T))
-                    ovb[(xi, yi)] = blk.transpose(1, 3, 0, 2)
-                else:
-                    ovb[(xi, yi)] = jnp.einsum(
-                        "Lix,Lfy->xyif", lo[xi], lv[yi],
-                        preferred_element_type=dtype, precision=prec)
-            t2T_sl = {("jk", r): jax.lax.dynamic_slice(
-                t2T, (s, zi32, zi32), (T, nvp, oo))
-                for r, s in enumerate(starts)}
-            t2T_sl.update({("kj", r): jax.lax.dynamic_slice(
-                t2Ts, (s, zi32, zi32), (T, nvp, oo))
-                for r, s in enumerate(starts)})
-            w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
-                                 t2T_sl[(W_PLAN[p]["t2"], p[2])],
-                                 dtype, T, o, precision=prec)
-                      for p in PERMS]
-            wsum = canonical_w1_sum4(w_list, T, o)
-            w_raw = [w_list[PERMS.index(p)] for p in W1_RAW2]
-            # V term EMITTED on canonical axes (einsum output labels carry
-            # the joint permutation): XLA fuses the 12 broadcast products
-            # into one 6D write — per-perm transposes of materialized 6D
-            # arrays measured ~4.4 ms/tile at bench shape, this ~0.3 ms
-            vterm = jnp.zeros((T, T, T, o, o, o), dtype)
-            for p in PERMS:
-                xi, yi, zi = p
-                inv = [p.index(0), p.index(1), p.index(2)]
-                out_lbl = ("".join("xyz"[q] for q in inv)
-                           + "".join("ijk"[q] for q in inv))
-                oovv_xy = jax.lax.dynamic_slice(
-                    oovv_T, (starts[xi], starts[yi], zi32, zi32),
-                    (T, T, o, o))
-                t1z = jax.lax.dynamic_slice(t1p, (zi32, starts[zi]), (o, T))
-                fvoz = jax.lax.dynamic_slice(fvo_p, (starts[zi], zi32),
-                                             (T, o))
-                t2yx = jax.lax.dynamic_slice(
-                    t2T, (starts[yi], starts[xi], zi32), (T, T, oo)
-                ).reshape(T, T, o, o)
-                vterm = vterm + 0.5 * (
-                    jnp.einsum(f"xyij,kz->{out_lbl}", oovv_xy, t1z)
-                    + jnp.einsum(f"yxij,zk->{out_lbl}", t2yx, fvoz))
-            vooo4_t = jnp.stack([jax.lax.dynamic_slice(
-                vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, o, o, o)
-                for s in starts])
-            t2p = jnp.stack([jnp.stack([jax.lax.dynamic_slice(
-                t2T, (s1, s2, zi32), (T, T, oo)).reshape(T, T, o, o)
-                for s2 in starts]) for s1 in starts])
-            evt = jnp.stack([jax.lax.dynamic_slice(ev_p, (s,), (T,))
-                             for s in starts])
-            gabc = jnp.stack([s + jnp.arange(T, dtype=jnp.int32)
-                              for s in starts])
-            kw = {}
-            if act_occ is not None:
-                kw = dict(actv=jnp.stack([jax.lax.dynamic_slice(
-                    act_vir, (s,), (T,)) for s in starts]),
-                    actocc=actocc3, act_mode=mode)
-            e = tile_energy_fused_v2(wsum, vterm, w_raw, vooo4_t, t2p,
-                                     eijk, gabc, evt, interpret=interpret,
-                                     kern_precision=kprec, **kw)
-            return carry + e.astype(carry.dtype), e
+        def chunk_energy(tK):
+            _, stacked = jax.lax.scan(lambda c, abc: (c, prep(abc)),
+                                      jnp.zeros((), jnp.int32), tK)
+            (w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t, fvoc_t,
+             gabc, evt) = stacked[:10]
+            kw = dict(interpret=interpret, kern_precision=kprec)
+            if has_act:
+                kw.update(actv=stacked[10], actocc=actocc3, act_mode=mode)
+            return tile_energy_fused_chunk(
+                w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t, fvoc_t,
+                eijk, gabc, evt, **kw)
 
-        return tile_energy
+        return chunk_energy
 
-    def make_tile_energy_fused3(big, interpret=False):
-        """v3 scan body: the kernel streams ONE pair-fused canonical W1
-        sum (full lane width), keeps every small operand resident across
-        the grid, and computes the V term in-register — see the v3 design
-        note in ops/triples_combine.py."""
-        from pyscf_mpcc_tpu.ops.triples_combine import (
-            PERMS, W_PLAN, canonical_w1_sum6, emit_w_dot,
-            tile_energy_fused_v3)
-        t2T = big["t2T"]
-        t2Ts = big["t2Ts"]
-        vooo = big["vooo"]
-        oovv_T = big["oovv_T"]
-        t1p = big["t1p"]
-        fvo_p = big["fvo_p"]
-        ev_p = big["ev_p"]
-        eo = big["eo"]
-        ovvv = big.get("ovvv")
-        Lov = big.get("Lov")
-        Lvv = big.get("Lvv")
-        act_occ = big.get("act_occ")
-        act_vir = big.get("act_vir")
-        eijk = (eo[:, None, None] + eo[None, :, None]
-                + eo[None, None, :])
-        if act_occ is not None:
-            actocc3 = (act_occ[:, None, None] * act_occ[None, :, None]
-                       * act_occ[None, None, :])
-        zi32 = jnp.int32(0)
-
-        def tile_energy(carry, abc):
-            starts = tuple(jnp.int32(abc[r] * T) for r in range(3))
-            if ovvv is None:
-                lo = [jax.lax.dynamic_slice(
-                    Lov, (zi32, zi32, s), (Lov.shape[0], o, T))
-                    for s in starts]
-                lv = [jax.lax.dynamic_slice(
-                    Lvv, (zi32, zi32, s), (Lvv.shape[0], nvp, T))
-                    for s in starts]
-            ovb = {}
-            for (xi, yi) in set((p[0], p[1]) for p in PERMS):
-                if ovvv is not None:
-                    blk = jax.lax.dynamic_slice(
-                        ovvv, (zi32, starts[xi], zi32, starts[yi]),
-                        (o, T, nvp, T))
-                    ovb[(xi, yi)] = blk.transpose(1, 3, 0, 2)
-                else:
-                    ovb[(xi, yi)] = jnp.einsum(
-                        "Lix,Lfy->xyif", lo[xi], lv[yi],
-                        preferred_element_type=dtype, precision=prec)
-            t2T_sl = {("jk", r): jax.lax.dynamic_slice(
-                t2T, (s, zi32, zi32), (T, nvp, oo))
-                for r, s in enumerate(starts)}
-            t2T_sl.update({("kj", r): jax.lax.dynamic_slice(
-                t2Ts, (s, zi32, zi32), (T, nvp, oo))
-                for r, s in enumerate(starts)})
-            w_list = [emit_w_dot(p, ovb[(p[0], p[1])],
-                                 t2T_sl[(W_PLAN[p]["t2"], p[2])],
-                                 dtype, T, o, precision=prec)
-                      for p in PERMS]
-            wsum = canonical_w1_sum6(w_list, T, o)
-            vooo4_t = jnp.stack([jax.lax.dynamic_slice(
-                vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, o, o, o)
-                for s in starts])
-            t2p = jnp.stack([jnp.stack([jax.lax.dynamic_slice(
-                t2T, (s1, s2, zi32), (T, T, oo)).reshape(T, T, o, o)
-                for s2 in starts]) for s1 in starts])
-            oovv_t = jnp.stack([jnp.stack([jax.lax.dynamic_slice(
-                oovv_T, (s1, s2, zi32, zi32), (T, T, o, o))
-                for s2 in starts]) for s1 in starts])
-            t1_t = jnp.stack([jax.lax.dynamic_slice(
-                t1p, (zi32, s), (o, T)).T[:, None, :] for s in starts])
-            fvo_t = jnp.stack([jax.lax.dynamic_slice(
-                fvo_p, (s, zi32), (T, o))[:, None, :] for s in starts])
-            t1c_t = jnp.stack([jax.lax.dynamic_slice(
-                t1p, (zi32, s), (o, T)).T[:, :, None] for s in starts])
-            fvoc_t = jnp.stack([jax.lax.dynamic_slice(
-                fvo_p, (s, zi32), (T, o))[:, :, None] for s in starts])
-            evt = jnp.stack([jax.lax.dynamic_slice(ev_p, (s,), (T,))
-                             for s in starts])
-            gabc = jnp.stack([s + jnp.arange(T, dtype=jnp.int32)
-                              for s in starts])
-            kw = {}
-            if act_occ is not None:
-                kw = dict(actv=jnp.stack([jax.lax.dynamic_slice(
-                    act_vir, (s,), (T,)) for s in starts]),
-                    actocc=actocc3, act_mode=mode)
-            e = tile_energy_fused_v3(wsum, vooo4_t, t2p, oovv_t, t1_t,
-                                     fvo_t, t1c_t, fvoc_t, eijk, gabc,
-                                     evt, interpret=interpret,
-                                     kern_precision=kprec, **kw)
-            return carry + e.astype(carry.dtype), e
-
-        return tile_energy
-
-    if engine in ("fused", "fused2", "fused3", "fused4"):
+    if engine == "fused":
         interp = jax.default_backend() != "tpu"
-        from functools import partial as _partial
-        maker = {"fused": make_tile_energy_fused,
-                 "fused2": make_tile_energy_fused2,
-                 "fused3": make_tile_energy_fused3,
-                 "fused4": _partial(make_tile_energy_fused, _v4=True)
-                 }[engine]
 
         def tile_fn(big):
-            return maker(big, interpret=interp)
+            return make_tile_energy_fused(big, interpret=interp)
     else:
         tile_fn = make_tile_energy
 
@@ -647,8 +493,16 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             e, _ = jax.lax.scan(body_w, init, tt)
             return jax.lax.psum(e, axis)
 
+        # replication checking off: pallas_call outputs carry no
+        # varying-mesh-axes annotation, which the checker would otherwise
+        # demand (the psum at the end makes the result replicated
+        # regardless).  kwarg name varies across jax versions.
+        import inspect
+        ck = ("check_vma" if "check_vma"
+              in inspect.signature(shard_map).parameters else "check_rep")
         sharded = jax.jit(shard_map(_scan_shard, mesh=mesh,
-                                    in_specs=(P(axis), P()), out_specs=P()))
+                                    in_specs=(P(axis), P()), out_specs=P(),
+                                    **{ck: False}))
         return 2.0 * float(sharded(trips_p, big_arrays))
 
     cache_key = (engine, T, o, nvp, str(dtype), str(acc_dtype), mode,
@@ -662,13 +516,43 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                  # cache hit across a config flip would return the stale
                  # executable
                  str(jax.config.jax_default_matmul_precision))
+    ntrips = trips.shape[0]
+    total = 0.0
+    if engine == "fused" and chunk > 1:
+        # grid-batched path: scan over chunks of K tiles, each chunk =
+        # one stacked prep scan + ONE pallas_call with grid (K, T, T)
+        K = int(chunk)
+        npadK = (-ntrips) % K
+        tripsK = (jnp.concatenate([trips, jnp.tile(trips[:1], (npadK, 1))])
+                  if npadK else trips)
+        trips3 = tripsK.reshape(-1, K, 3)
+        key = cache_key + ("chunkK", K)
+        run = _SCAN_CACHE.get(key)
+        if run is None:
+            def _run(tr3, big):
+                ce = make_chunk_energy_fused(big, interpret=interp)
+                return jax.lax.scan(lambda c, tK: (c, ce(tK)),
+                                    jnp.zeros((), jnp.int32), tr3)[1]
+            run = jax.jit(_run)
+            _SCAN_CACHE[key] = run
+        mcall = max(1, tiles_per_call // K)
+        M = trips3.shape[0]
+        p = 0
+        while p < M:
+            m = min(mcall, M - p)
+            ys = run(jax.lax.slice(trips3, (p, 0, 0), (p + m, K, 3)),
+                     big_arrays)
+            flat = np.asarray(ys, dtype=np.float64).ravel()
+            nvalid = max(0, min(ntrips, (p + m) * K) - p * K)
+            total += float(flat[:nvalid].sum())
+            p += m
+        return 2.0 * total
+
     scan_chunk = _SCAN_CACHE.get(cache_key)
     if scan_chunk is None:
         scan_chunk = jax.jit(
             lambda c, t, big: jax.lax.scan(tile_fn(big), c, t)[1])
         _SCAN_CACHE[cache_key] = scan_chunk
-    ntrips = trips.shape[0]
-    total = 0.0
     # Full chunks share one compilation; the remainder adds at most one
     # more.  The host-side float() per chunk is a deliberate sync point:
     # without it the async stream queues every chunk into one long device

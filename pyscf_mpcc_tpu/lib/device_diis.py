@@ -26,10 +26,19 @@ class DIISState(NamedTuple):
     count: jnp.ndarray  # () int32 — total vectors stored so far
 
 
-def init(n, space=6, dtype=jnp.float32):
+def init(n, space=6, dtype=jnp.float32, err_dtype=None):
+    """err_dtype=jnp.bfloat16 halves the error-ring HBM footprint.
+
+    Error vectors only enter through the Gram matrix B (the hostsolve
+    hybrid solves it in fp64 regardless), so bf16 storage costs ~3
+    digits of B-entry precision — fine while |err| spans the DIIS-useful
+    range, and the extrapolated x itself stays full precision (xs is
+    never downcast).  The win: at (H2O)8 Lambda scale the space-6 ring
+    drops from 8.8 GB to 6.6 GB, which is what lets it co-fit with the
+    pair-ladder vjp (docs/PARITY.md round-4)."""
     return DIISState(
         xs=jnp.zeros((space, n), dtype),
-        errs=jnp.zeros((space, n), dtype),
+        errs=jnp.zeros((space, n), err_dtype or dtype),
         count=jnp.zeros((), jnp.int32),
     )
 
@@ -47,13 +56,16 @@ def update(state: DIISState, x, err):
     slot = (state.count % space).astype(jnp.int32)
     zi = jnp.int32(0)
     xs = jax.lax.dynamic_update_slice(state.xs, x[None, :], (slot, zi))
-    errs = jax.lax.dynamic_update_slice(state.errs, err[None, :], (slot, zi))
+    errs = jax.lax.dynamic_update_slice(
+        state.errs, err.astype(state.errs.dtype)[None, :], (slot, zi))
     count = state.count + 1
     nd = jnp.minimum(count, space)
 
     valid = (jnp.arange(space) < nd).astype(xs.dtype)
     # B matrix over the valid history (invalid rows forced to identity-ish)
-    B = (errs * valid[:, None]) @ (errs * valid[:, None]).T
+    ev = errs * valid[:, None].astype(errs.dtype)
+    B = jax.lax.dot_general(ev, ev, (((1,), (1,)), ((), ())),
+                            preferred_element_type=xs.dtype)
     # augmented system [[0, -1], [-1, B]] [lam, c] = [-1, 0] via filtered eig
     h = jnp.zeros((space + 1, space + 1), xs.dtype)
     h = h.at[0, 1:].set(valid)
@@ -87,11 +99,14 @@ def push(state: DIISState, x, err):
     slot = (state.count % space).astype(jnp.int32)
     zi = jnp.int32(0)
     xs = jax.lax.dynamic_update_slice(state.xs, x[None, :], (slot, zi))
-    errs = jax.lax.dynamic_update_slice(state.errs, err[None, :], (slot, zi))
+    errs = jax.lax.dynamic_update_slice(
+        state.errs, err.astype(state.errs.dtype)[None, :], (slot, zi))
     count = state.count + 1
     valid = (jnp.arange(space) < jnp.minimum(count, space)).astype(xs.dtype)
-    ev = errs * valid[:, None]
-    return DIISState(xs, errs, count), ev @ ev.T
+    ev = errs * valid[:, None].astype(errs.dtype)
+    g = jax.lax.dot_general(ev, ev, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return DIISState(xs, errs, count), g
 
 
 @jax.jit

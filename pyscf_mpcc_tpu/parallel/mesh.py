@@ -82,3 +82,45 @@ def sharded_update_amps(mesh, axis_name="dp", ntile=1):
 
     fn = partial(rccsd.update_amps, ntile=ntile)
     return jax.jit(fn, out_shardings=(repl, row))
+
+
+# ------------------------------------------------------------ UCCSD
+def shard_ueris(ueris, mesh, axis_name="dp"):
+    """Place a UERIs container on the mesh: per-spin DF factors sharded
+    over naux (same layout as the RCCSD path), materialized three-virtual
+    blocks sharded over their first occupied axis, the o^2v^2-class
+    blocks replicated."""
+    row = NamedSharding(mesh, P(axis_name))
+    repl = _repl(mesh)
+
+    def put(x, sh):
+        return None if x is None else jax.device_put(x, sh)
+
+    kw = {f: put(getattr(ueris, f), repl) for f in ueris._fields
+          if getattr(ueris, f) is not None}
+    for f in ("Lov_a", "Lvv_a", "Lov_b", "Lvv_b",
+              "ovvv", "OVVV", "ovVV", "OVvv"):
+        if getattr(ueris, f) is not None:
+            kw[f] = put(getattr(ueris, f), row)
+    return type(ueris)(**kw)
+
+
+def shard_uamps(t1, t2, mesh, axis_name="dp"):
+    """(t1a,t1b) replicated; each of (t2aa,t2ab,t2bb) sharded over its
+    first occupied axis."""
+    repl = _repl(mesh)
+    row = NamedSharding(mesh, P(axis_name))
+    return (tuple(jax.device_put(x, repl) for x in t1),
+            tuple(jax.device_put(x, row) for x in t2))
+
+
+def sharded_uccsd_update(mesh, axis_name="dp", ntile=1):
+    """A jitted UCCSD update_amps keeping the row sharding of the t2
+    triple (the same-spin ladders ride the pair-mirrored sharded ladder
+    inside; XLA inserts the aux-shard psums)."""
+    from pyscf_mpcc_tpu.cc import uccsd
+
+    repl = _repl(mesh)
+    row = NamedSharding(mesh, P(axis_name))
+    fn = partial(uccsd.update_amps, ntile=ntile)
+    return jax.jit(fn, out_shardings=((repl,) * 2, (row,) * 3))

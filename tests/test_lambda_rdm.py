@@ -59,3 +59,12 @@ def test_lambda_device_diis_matches_host():
     # both converge to the same stationary multipliers
     assert float(jnp.abs(l1h - l1d).max()) < 1e-8
     assert float(jnp.abs(l2h - l2d).max()) < 1e-8
+    # bf16 error ring (quarter-smaller HBM ring; lib/device_diis.init):
+    # error vectors only feed the Gram matrix, so convergence must reach
+    # the same stationary point (possibly along a different path)
+    cb, l1b, l2b = lambda_ad.kernel(t1, t2, er, conv_tol=1e-9, max_cycle=80,
+                                    diis_backend="device",
+                                    diis_err_dtype=jnp.bfloat16)
+    assert cb
+    assert float(jnp.abs(l1h - l1b).max()) < 1e-7
+    assert float(jnp.abs(l2h - l2b).max()) < 1e-7

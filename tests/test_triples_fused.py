@@ -58,62 +58,44 @@ def test_fused_engine_active_mask_matches_xla():
     np.testing.assert_allclose(e_fused, e_xla, rtol=1e-10, atol=1e-12)
 
 
-def test_fused2_engine_matches_xla_engine():
-    # v2 epilogue: XLA-hoisted canonical W1 sum + V term, slim kernel
+def test_chunked_grid_matches_per_tile():
+    # grid-batched path (one pallas_call per K-tile chunk, grid (K,T,T))
+    # vs the per-tile path (chunk=1): identical tiles, identical values.
+    # tile=3/nvir=7 gives 10 tiles, so chunk=8 also exercises the
+    # pad-to-chunk-multiple remainder masking.
     t1, t2, eris = _rand_problem(seed=3)
-    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
-    e_2 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused2"))
-    assert abs(e_xla) > 1e-8
-    np.testing.assert_allclose(e_2, e_xla, rtol=1e-10, atol=1e-12)
+    e_1 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused",
+                              chunk=1))
+    for K in (2, 4, 8):
+        e_k = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused",
+                                  chunk=K))
+        np.testing.assert_allclose(e_k, e_1, rtol=1e-12, atol=1e-13)
 
 
-def test_fused2_engine_active_mask_matches_xla():
+def test_chunked_grid_active_mask_matches_xla():
     t1, t2, eris = _rand_problem(seed=11)
     for m in ("only_active", "exclude_active"):
         kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode=m)
         e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla",
                                     **kw))
-        e_2 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused2",
-                                  **kw))
-        np.testing.assert_allclose(e_2, e_xla, rtol=1e-10, atol=1e-12)
+        e_k = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused",
+                                  chunk=4, **kw))
+        np.testing.assert_allclose(e_k, e_xla, rtol=1e-10, atol=1e-12)
 
 
-def test_fused3_engine_matches_xla_engine():
-    # v3 epilogue: pair-fused streamed W1 (all six perms canonicalized in
-    # XLA), resident small operands, in-kernel V term
-    t1, t2, eris = _rand_problem(seed=3)
-    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
-    e_3 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused3"))
-    assert abs(e_xla) > 1e-8
-    np.testing.assert_allclose(e_3, e_xla, rtol=1e-10, atol=1e-12)
+def test_chunked_grid_tiles_per_call_slabs():
+    # multiple jit slabs (tiles_per_call < ntiles*K) must agree with one
+    t1, t2, eris = _rand_problem(seed=5)
+    e_one = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused",
+                                chunk=4))
+    e_slab = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused",
+                                 chunk=4, tiles_per_call=4))
+    np.testing.assert_allclose(e_slab, e_one, rtol=1e-12, atol=1e-13)
 
 
-def test_fused3_engine_active_mask_matches_xla():
-    t1, t2, eris = _rand_problem(seed=11)
-    for m in ("only_active", "exclude_active"):
-        kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode=m)
-        e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla",
-                                    **kw))
-        e_3 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused3",
-                                  **kw))
-        np.testing.assert_allclose(e_3, e_xla, rtol=1e-10, atol=1e-12)
-
-
-def test_fused4_engine_matches_xla_engine():
-    # v4 epilogue: DENSE pair-fused W1 stream, b-basis kernel (the
-    # padding fix; ops/triples_combine.py v4 design note)
+def test_retired_engines_rejected():
     t1, t2, eris = _rand_problem()
-    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
-    e_4 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused4"))
-    np.testing.assert_allclose(e_4, e_xla, rtol=1e-10, atol=1e-12)
-
-
-def test_fused4_engine_active_mask_matches_xla():
-    t1, t2, eris = _rand_problem(seed=11)
-    for m in ("only_active", "exclude_active"):
-        kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode=m)
-        e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla",
-                                    **kw))
-        e_4 = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="fused4",
-                                  **kw))
-        np.testing.assert_allclose(e_4, e_xla, rtol=1e-10, atol=1e-12)
+    import pytest
+    for name in ("fused2", "fused3", "fused4"):
+        with pytest.raises(ValueError):
+            ccsd_t.kernel(t1, t2, eris, tile=3, engine=name)
