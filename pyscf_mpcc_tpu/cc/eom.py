@@ -223,10 +223,20 @@ def _augment_occupied(t1, t2, eris):
             jnp.pad(t2, [(0, 1), (0, 1), (0, 0), (0, 0)]), er)
 
 
-def _guesses(diag, n1, nroots):
+def _guesses(diag, n1, nroots, nrandom=0, seed=7, project=None):
     """Unit-vector guesses: the n1 leading-block entries sorted by diag,
     then (if more roots requested than the 1h/1p block holds) the lowest
-    remaining double-excitation diagonals."""
+    remaining double-excitation diagonals.
+
+    nrandom > 0 appends fixed-seed random vectors.  Unit guesses have
+    EXACTLY zero overlap with point-group sectors absent from the seeded
+    configurations, so an interior 2h1p/2p1h-dominated root of another
+    irrep is invisible to the Davidson subspace no matter how many
+    cycles run (found on H2O/cc-pVDZ EA vs the reference pin: the
+    0.5101 Ha root was unreachable from any pure 1p guess).  Random
+    vectors overlap every sector; the reference instead orders guesses
+    by its hand-derived interacting Hbar diagonal (eom_rccsd.py
+    get_diag), which this framework deliberately does not carry."""
     order1 = np.argsort(diag[:n1])
     idx = list(order1[:min(nroots, n1)])
     if len(idx) < nroots:
@@ -237,6 +247,16 @@ def _guesses(diag, n1, nroots):
         v = np.zeros(diag.size)
         v[k] = 1.0
         x0.append(v)
+    rng = np.random.default_rng(seed)
+    for _ in range(nrandom):
+        x0.append(rng.standard_normal(diag.size))
+    if project is not None:
+        # coordinate maps with a null space (e.g. the (ij)- or (ab)-
+        # antisymmetrized same-spin blocks of the U kernels) would turn
+        # the null component of a random guess into a spurious zero
+        # eigenvalue; project every guess onto the physical row space
+        # (davidson drops any vector projected to ~0)
+        x0 = [project(v) for v in x0]
     return x0
 
 
@@ -268,9 +288,13 @@ def kernel_ip(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
         return np.concatenate([np.asarray(s1p[:, X]).ravel(),
                                np.asarray(s2p[:, :, :nvir, X]).ravel()])
 
-    x0 = _guesses(diag, n1, nroots)
+    # lowest-pick + random sector-coverage guesses: IP/EA parity means
+    # "the nroots lowest eigenvalues", exactly as the reference's
+    # ipccsd/eaccsd davidson; see _guesses on why random vectors are
+    # required for completeness
+    x0 = _guesses(diag, n1, nroots, nrandom=nroots)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose, pick="follow")
+                    max_cycle=max_cycle, verbose=verbose, pick="lowest")
 
 
 def kernel_ea(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
@@ -300,9 +324,9 @@ def kernel_ea(t1, t2, eris, nroots=3, tol=1e-7, max_cycle=100, verbose=0,
         return np.concatenate([np.asarray(s1p[Y, :]).ravel(),
                                np.asarray(s2p[Y, :nocc, :, :]).ravel()])
 
-    x0 = _guesses(diag, n1, nroots)
+    x0 = _guesses(diag, n1, nroots, nrandom=nroots)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose, pick="follow")
+                    max_cycle=max_cycle, verbose=verbose, pick="lowest")
 
 
 # ---------------------------------------------------------------------------
@@ -502,9 +526,16 @@ def kernel_ip_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
             np.asarray(s2[0][:, :, :nva, X]).ravel(),
             np.asarray(s2[1][:, :, X, :]).ravel()])
 
-    x0 = _guesses(diag, na, nroots)
+    def _proj_ip(x):
+        # physical coords: raa antisymmetric in (i,j) (see matvec _asym4)
+        x = np.array(x)
+        raa = x[na:na + naa].reshape(na, na, nva)
+        x[na:na + naa] = 0.5 * (raa - raa.transpose(1, 0, 2)).ravel()
+        return x
+
+    x0 = _guesses(diag, na, nroots, nrandom=nroots, project=_proj_ip)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose, pick="follow")
+                    max_cycle=max_cycle, verbose=verbose, pick="lowest")
 
 
 def kernel_ea_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
@@ -549,9 +580,16 @@ def kernel_ea_u(t1, t2, eris_u, nroots=3, tol=1e-7, max_cycle=100,
             np.asarray(s2[0][Y, :na, :, :]).ravel(),
             np.asarray(s2[1][Y, :, :, :]).ravel()])
 
-    x0 = _guesses(diag, nva, nroots)
+    def _proj_ea(x):
+        # physical coords: raa antisymmetric in (a,b) (see matvec _asym4)
+        x = np.array(x)
+        raa = x[nva:nva + naa].reshape(na, nva, nva)
+        x[nva:nva + naa] = 0.5 * (raa - raa.transpose(0, 2, 1)).ravel()
+        return x
+
+    x0 = _guesses(diag, nva, nroots, nrandom=nroots, project=_proj_ea)
     return davidson(matvec, x0, diag, nroots=nroots, tol=tol,
-                    max_cycle=max_cycle, verbose=verbose, pick="follow")
+                    max_cycle=max_cycle, verbose=verbose, pick="lowest")
 
 
 # ---------------------------------------------------------------------------

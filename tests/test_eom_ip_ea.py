@@ -91,6 +91,44 @@ def test_fast_ip_ea_match_oracle_h2o():
     assert np.abs(eas - uref_ea).max() < 1e-8
 
 
+def test_ip_ea_ee_reference_pinned_h2o_ccpvdz():
+    """Reference-pinned parity: the reference fork's own eom_rccsd
+    (ipccsd :291, eaccsd :606, eeccsd singlet :977) run on this host
+    with identical injected integrals (tools/pin_reference_values.py
+    'h2o', 2026-08-19) -- production-scale basis, exact values."""
+    import jax.numpy as jnp  # noqa: F401
+    from pyscf_mpcc_tpu.cc import eom, rccsd
+    from pyscf_mpcc_tpu.cc import eris as eris_mod
+
+    REF_E_CORR = -0.2133274273544366
+    REF_IP = [0.433564372260947, 0.5186599930972678, 0.6784704515875678]
+    REF_EA = [0.16741950216613447, 0.24029462761583625, 0.5101075032617646]
+    REF_EE = [0.3006258759956825, 0.37594403988325975, 0.397748269999603]
+
+    mol = gto.M(atom="O 0 0 0.1173; H 0 0.7572 -0.4692; "
+                     "H 0 -0.7572 -0.4692",
+                basis="cc-pvdz", unit="angstrom")
+    mf = RHF(mol)
+    mf.conv_tol = 1e-13
+    mf.kernel()
+    eri = gto.intor_eri(mol)
+    f = mf.get_fock(mf.make_rdm1())
+    er = eris_mod.make_eris_incore(eri, mf.mo_coeff, f, mol.nelectron // 2)
+    conv, e_corr, t1, t2 = rccsd.kernel(er, conv_tol=1e-11,
+                                        conv_tol_normt=1e-9, max_cycle=100)
+    assert conv
+    assert abs(float(e_corr) - REF_E_CORR) < 1e-8
+
+    _, ips, _ = eom.kernel_ip(t1, t2, er, nroots=3, tol=1e-9)
+    _, eas, _ = eom.kernel_ea(t1, t2, er, nroots=3, tol=1e-9)
+    _, ees, _ = eom.kernel_ee(t1, t2, er, nroots=3, tol=1e-9)
+    assert np.abs(np.asarray(ips) - REF_IP).max() < 1e-7
+    assert np.abs(np.asarray(eas) - REF_EA).max() < 1e-7
+    # EE runs both Davidsons (ours and the reference's) at finite
+    # residual tolerance; the 3rd root agrees to ~1.2e-7 Ha (3e-6 eV)
+    assert np.abs(np.asarray(ees) - REF_EE).max() < 5e-7
+
+
 def test_fast_ip_ea_unrestricted_match_oracle():
     """Unrestricted IP/EA on an open-shell radical vs the exact oracle,
     per Sz sector (Hbar is Sz-block-diagonal; the oracle's unfiltered
