@@ -32,6 +32,11 @@ class RERIs(NamedTuple):
     Lvv: Optional[jnp.ndarray] = None   # (naux, a, b) DF factor, DF mode
     Lov: Optional[jnp.ndarray] = None   # (naux, i, a)
     Loo: Optional[jnp.ndarray] = None   # (naux, i, j)
+    # single-chip out-of-core mode (cc/stream_ladder): Lvv stays in host
+    # RAM (lib/hoststore) and this () int32 handle replaces it; jitted
+    # consumers pull row tiles through io_callback.  Mutually exclusive
+    # with Lvv.
+    Lvv_stream: Optional[jnp.ndarray] = None
 
     @property
     def nocc(self):
@@ -74,12 +79,21 @@ def make_eris_incore(eri_ao, mo_coeff, fock_ao, nocc, dtype=None):
     )
 
 
-def make_eris_df(b_ao, mo_coeff, fock_ao, nocc, dtype=None, keep_ovvv=True):
+def make_eris_df(b_ao, mo_coeff, fock_ao, nocc, dtype=None, keep_ovvv=True,
+                 stream_vv=False):
     """DF container: all blocks from B factors; vvvv left implicit.
 
     Reference analog: dfccsd._make_df_eris (pyscf/cc/dfccsd.py:125) which
     stores vvL and rebuilds (ac|bd) per block pair; here the Lvv factor is a
     device array contracted on the fly inside the jitted update.
+
+    stream_vv=True is the single-chip out-of-core mode (the TPU-native
+    counterpart of the reference's HDF5 _make_eris_outcore,
+    pyscf/cc/ccsd.py:1611): the (naux, nvir, nvir) Lvv factor — the one
+    tensor that outgrows HBM first — never reaches the device.  It is
+    registered in lib.hoststore and jitted consumers (cc/stream_ladder)
+    pull row tiles on demand; the o^2v^2-class blocks still live in HBM.
+    Implies keep_ovvv=False.
     """
     mo = np.asarray(mo_coeff)
     co, cv = mo[:, :nocc], mo[:, nocc:]
@@ -88,18 +102,31 @@ def make_eris_df(b_ao, mo_coeff, fock_ao, nocc, dtype=None, keep_ovvv=True):
     Loo = jnp.asarray(np.einsum("Liq,qj->Lij", Lo, co, optimize=True), dtype=dtype)
     Lov = jnp.asarray(np.einsum("Liq,qa->Lia", Lo, cv, optimize=True), dtype=dtype)
     Lv = np.einsum("Lpq,pa->Laq", B, cv, optimize=True)
-    Lvv = jnp.asarray(np.einsum("Laq,qb->Lab", Lv, cv, optimize=True), dtype=dtype)
+    Lvv_np = np.einsum("Laq,qb->Lab", Lv, cv, optimize=True)
+    if dtype is not None:
+        Lvv_np = Lvv_np.astype(dtype)
     fock = jnp.asarray(mo.T @ fock_ao @ mo, dtype=dtype)
-    ovvv = jnp.einsum("Lia,Lbc->iabc", Lov, Lvv) if keep_ovvv else None
+    if stream_vv:
+        from pyscf_mpcc_tpu.lib import hoststore
+        oovv = jnp.asarray(
+            np.einsum("Lij,Lab->ijab", np.asarray(Loo), Lvv_np,
+                      optimize=True), dtype=dtype)
+        handle = jnp.asarray(hoststore.put(Lvv_np), jnp.int32)
+        Lvv, ovvv = None, None
+    else:
+        Lvv = jnp.asarray(Lvv_np)
+        oovv = jnp.einsum("Lij,Lab->ijab", Loo, Lvv)
+        ovvv = jnp.einsum("Lia,Lbc->iabc", Lov, Lvv) if keep_ovvv else None
+        handle = None
     return RERIs(
         fock=fock,
         mo_energy=jnp.diagonal(fock),
         oooo=jnp.einsum("Lij,Lkl->ijkl", Loo, Loo),
         ovoo=jnp.einsum("Lia,Ljk->iajk", Lov, Loo),
         ovov=jnp.einsum("Lia,Ljb->iajb", Lov, Lov),
-        oovv=jnp.einsum("Lij,Lab->ijab", Loo, Lvv),
+        oovv=oovv,
         ovvo=None,               # == ovov.transpose(0,1,3,2); derived lazily
         ovvv=ovvv,
         vvvv=None,
-        Lvv=Lvv, Lov=Lov, Loo=Loo,
+        Lvv=Lvv, Lov=Lov, Loo=Loo, Lvv_stream=handle,
     )

@@ -86,9 +86,19 @@ def _ladder_df(tau, t1, eris, ntile):
     nvir is zero-padded to a tile multiple internally; any ntile >= 1
     is legal.
     """
-    Lvv, Lov = eris.Lvv, eris.Lov
-    Ld = Lvv - jnp.einsum("ka,Lkc->Lac", t1, Lov)
-    out = pair_ladder_sym(tau, Ld, ntile)
+    if eris.Lvv_stream is not None:
+        # single-chip out-of-core: Lvv lives in host RAM and the mirrored
+        # pair sweep pulls dressed tiles through io_callback
+        # (cc/stream_ladder, hand-derived custom_vjp)
+        from pyscf_mpcc_tpu.cc import stream_ladder
+        nocc, nvir = t1.shape
+        ladder = stream_ladder.make_streamed_ladder(
+            nocc, nvir, eris.Lov.shape[0], ntile, eris.Lov.dtype)
+        out = ladder(tau, t1, eris.Lov, eris.Lvv_stream)
+    else:
+        Lvv, Lov = eris.Lvv, eris.Lov
+        Ld = Lvv - jnp.einsum("ka,Lkc->Lac", t1, Lov)
+        out = pair_ladder_sym(tau, Ld, ntile)
     # subtract the quadratic dressing artifact
     tmp = jnp.einsum("kcld,ijcd->klij", eris.ovov, tau)
     out = out - jnp.einsum("klij,ka,lb->ijab", tmp, t1, t1)
@@ -177,9 +187,20 @@ class _OvvvOps:
     exactly through the 3-center L tensors (role of the reference's
     blocked _add_ovvv_ loops, pyscf/cc/ccsd.py:337, without the I/O)."""
 
-    def __init__(self, eris: RERIs):
+    def __init__(self, eris: RERIs, ntile=1):
         self.eris = eris
         self.df = eris.ovvv is None
+        if eris.Lvv_stream is not None:
+            # streamed mode: every contraction routes to the StreamedOvvv
+            # twin (same math, Lvv tiles fetched from host); instance
+            # attributes shadow the class methods below
+            from pyscf_mpcc_tpu.cc import stream_ladder
+            stream = stream_ladder.StreamedOvvv(
+                eris.Lvv_stream, eris.Lov, eris.nvir, ntile,
+                eris.Lov.dtype)
+            for m in ("t1_t2_terms", "lvv_t1", "wvoov_t1", "wvovo_t1",
+                      "t2_vvov_t1"):
+                setattr(self, m, getattr(stream, m))
 
     def t1_t2_terms(self, t2):
         """2*(kd|ac) t2[ikcd] - (kc|ad) t2[ikcd] -> [ia]"""
@@ -252,7 +273,7 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1,
     ovvo = eris.get_ovvo()
     oovv = eris.oovv
     oooo = eris.oooo
-    vops = _OvvvOps(eris)
+    vops = _OvvvOps(eris, ntile)
 
     # --- kappa intermediates (Eqs. 37-39), Fock diagonal removed ---------
     Foo = foo + 2.0 * jnp.einsum("kcld,ilcd->ki", ovov, t2) \
@@ -406,7 +427,7 @@ def residual_segments(eris: RERIs, ntile=1, variant="ccsd",
     mo_e_v = eris.mo_energy[nocc:]
     ovov, ovoo, oovv, oooo = eris.ovov, eris.ovoo, eris.oovv, eris.oooo
     ovvo = eris.get_ovvo()
-    vops = _OvvvOps(eris)
+    vops = _OvvvOps(eris, ntile)
 
     def _kappa(t1, t2):
         Foo = foo + 2.0 * jnp.einsum("kcld,ilcd->ki", ovov, t2) \

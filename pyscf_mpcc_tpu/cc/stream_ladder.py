@@ -213,3 +213,135 @@ def make_streamed_ladder(nocc, nvir, naux, ntile, dtype,
     ladder.defvjp(fwd, bwd)
     _FACTORY_CACHE[key] = ladder
     return ladder
+
+
+# ---------------------------------------------------------------------------
+# const-fetch + streamed ovvv-class contractions
+# ---------------------------------------------------------------------------
+#
+# The pp ladder above carries a hand-derived vjp because its backward is
+# itself ladder-shaped.  Every OTHER Lvv consumer in the CCSD/Lambda
+# residual (cc/rccsd._OvvvOps) is a single linear pass over Lvv rows, so
+# ordinary jax AD handles it — provided (a) the io_callback fetch is
+# wrapped in a custom_vjp that declares the host tensor a CONSTANT of
+# the differentiation (io_callback itself refuses AD), and (b) each
+# per-tile body is jax.checkpoint'd so the backward pass REFETCHES tiles
+# instead of keeping every fetched tile alive as an AD residual (which
+# would silently re-materialize all of Lvv in HBM).
+
+
+def make_fetch_rows(naux, nvir, tsz, dtype):
+    """A differentiation-constant row-tile fetch: (handle, start) ->
+    (naux, tsz, nvir) rows [start, start+tsz) of hoststore entry
+    ``handle`` (zero-padded past the edge)."""
+    shp = jax.ShapeDtypeStruct((naux, tsz, nvir), dtype)
+
+    @jax.custom_vjp
+    def fetch(handle, start):
+        # pure_callback, NOT io_callback: the per-tile bodies are
+        # jax.checkpoint'd and remat refuses IOEffects; the fetch is
+        # deterministic, so replaying/eliding it is value-safe
+        return jax.pure_callback(
+            lambda h, s: hoststore.fetch_rows(h, s, tsz), shp,
+            handle, start)
+
+    def fwd(handle, start):
+        return fetch(handle, start), None
+
+    def bwd(_, g):
+        z = np.zeros((), jax.dtypes.float0)
+        return (z, z)
+
+    fetch.defvjp(fwd, bwd)
+    return fetch
+
+
+class StreamedOvvv:
+    """Streamed twins of cc/rccsd._OvvvOps' DF-mode methods, with the
+    Lvv factor fetched tile-wise from lib.hoststore.
+
+    Every method is a jax.lax.map over row tiles whose body is
+    jax.checkpoint'd (see module note).  Outputs are stacked per tile
+    (disjoint row slices -> reshape; the single row-REDUCTION op sums
+    its stacked partials), never carried, so scan-carry AD residuals
+    cannot blow up either."""
+
+    def __init__(self, handle, Lov, nvir, ntile, dtype):
+        self.handle = handle
+        self.Lov = Lov
+        naux, nocc = Lov.shape[0], Lov.shape[1]
+        self.naux, self.nocc, self.nvir = naux, nocc, nvir
+        ntile = max(1, min(int(ntile), nvir))
+        self.tsz = -(-nvir // ntile)
+        self.ntile = -(-nvir // self.tsz)
+        self.nvp = self.ntile * self.tsz
+        self.fetch = make_fetch_rows(naux, nvir, self.tsz, dtype)
+        self.starts = jnp.arange(self.ntile, dtype=jnp.int32) * self.tsz
+
+    def _map(self, body):
+        return jax.lax.map(jax.checkpoint(body), self.starts)
+
+    def t1_t2_terms(self, t2):
+        """2*(kd|ac) t2[ikcd] - (kc|ad) t2[ikcd] -> [ia]"""
+        x = jnp.einsum("Lkd,ikcd->Lic", self.Lov, t2)
+        y = jnp.einsum("Lkc,ikcd->Lid", self.Lov, t2)
+
+        def body(s):
+            lvv = self.fetch(self.handle, s)      # (L, a-tile, c)
+            return (2.0 * jnp.einsum("Lic,Lac->ia", x, lvv)
+                    - jnp.einsum("Lid,Lad->ia", y, lvv))
+
+        out = self._map(body)                     # (ntile, nocc, tsz)
+        out = out.transpose(1, 0, 2).reshape(self.nocc, self.nvp)
+        return out[:, :self.nvir]
+
+    def lvv_t1(self, t1):
+        """2*(kd|ac) t1[kd] - (kc|ad) t1[kd] -> [ac]"""
+        z = jnp.einsum("Lkd,kd->L", self.Lov, t1)
+        x = jnp.einsum("Lkc,kd->Lcd", self.Lov, t1)
+
+        def body(s):
+            lvv = self.fetch(self.handle, s)
+            return (2.0 * jnp.einsum("L,Lac->ac", z, lvv)
+                    - jnp.einsum("Lcd,Lad->ac", x, lvv))
+
+        out = self._map(body)                     # (ntile, tsz, nvir)
+        return out.reshape(self.nvp, self.nvir)[:self.nvir]
+
+    def wvoov_t1(self, t1):
+        """(kc|ad) t1[id] -> [akic]"""
+        def body(s):
+            lvv = self.fetch(self.handle, s)
+            xt = jnp.einsum("Lad,id->Lai", lvv, t1)
+            return jnp.einsum("Lai,Lkc->akic", xt, self.Lov)
+
+        out = self._map(body)           # (ntile, tsz, nocc, nocc, nvir)
+        nh = (self.nvp, self.nocc, self.nocc, self.nvir)
+        return out.reshape(nh)[:self.nvir]
+
+    def wvovo_t1(self, t1):
+        """(kd|ac) t1[id] -> [akci]"""
+        x = jnp.einsum("Lkd,id->Lki", self.Lov, t1)
+
+        def body(s):
+            lvv = self.fetch(self.handle, s)
+            return jnp.einsum("Lki,Lac->akci", x, lvv)
+
+        out = self._map(body)           # (ntile, tsz, nocc, nvir, nocc)
+        nh = (self.nvp, self.nocc, self.nvir, self.nocc)
+        return out.reshape(nh)[:self.nvir]
+
+    def t2_vvov_t1(self, t1):
+        """sum_c (ia|cb) t1[jc] -> [ijab]; the one row-REDUCTION op:
+        the Lvv row axis is contracted, so per-tile partials are summed."""
+        pad = self.nvp - self.nvir
+        t1p = jnp.pad(t1, ((0, 0), (0, pad))) if pad else t1
+
+        def body(s):
+            lvv = self.fetch(self.handle, s)      # rows c in tile
+            t1t = jax.lax.dynamic_slice(
+                t1p, (jnp.int32(0), s), (t1.shape[0], self.tsz))
+            return jnp.einsum("Lcb,jc->Ljb", lvv, t1t)
+
+        x = jnp.sum(self._map(body), axis=0)      # (L, j, b)
+        return jnp.einsum("Lia,Ljb->ijab", self.Lov, x)

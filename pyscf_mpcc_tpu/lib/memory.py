@@ -92,7 +92,7 @@ def plan_ladder_ntile(nocc, nvir, naux, dtype="float32", budget=None,
 
 
 def ccsd_working_set_bytes(nocc, nvir, naux, ntile=1, dtype="float32",
-                           ndev=1):
+                           ndev=1, stream_vv=False):
     """Model of the DF-CCSD update working set (bytes) on one device.
 
     ndev=1: the single-device footprint — persistent DF factors + the
@@ -102,14 +102,22 @@ def ccsd_working_set_bytes(nocc, nvir, naux, ntile=1, dtype="float32",
     over the first occupied axis, small four-index blocks replicated).
     Used by the capacity tests to prove a problem exceeds one device's
     budget while its sharded layout fits (reference envelope analog:
-    FEATURES:74 out-of-core sizing)."""
+    FEATURES:74 out-of-core sizing).
+
+    stream_vv=True models the single-chip out-of-core mode
+    (cc/stream_ladder): Lvv leaves the device entirely; what remains of
+    it on-device is two streamed row tiles (the fetched tile + its
+    double buffer)."""
     isz = _itemsize(dtype)
     o2v2 = nocc * nocc * nvir * nvir
-    df = (naux * nvir * nvir + naux * nocc * nvir
-          + naux * nocc * nocc) * isz          # Lvv + Lov + Loo
+    tsz = -(-nvir // max(ntile, 1))
+    lvv = naux * nvir * nvir * isz
+    if stream_vv:
+        lvv = 2 * naux * tsz * nvir * isz      # fetched tile + buffer
+    df = lvv + (naux * nocc * nvir
+                + naux * nocc * nocc) * isz    # (Lvv) + Lov + Loo
     eris4 = 4 * o2v2 * isz                     # ovov + oovv + ovvo + ovoo~
     t2likes = 3 * o2v2 * isz                   # t2, t2new, tau
-    tsz = -(-nvir // max(ntile, 1))
     tile = tsz * tsz * nvir * nvir * isz * 2
     if ndev == 1:
         return df + eris4 + t2likes + tile

@@ -91,3 +91,49 @@ def test_sharded_solve_iterates():
         e_s = float(rccsd.energy(t1s, t2s, er_s))
         assert np.isfinite(e_r)
         assert abs(e_s - e_r) / max(abs(e_r), 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# single-chip out-of-core (host-streamed Lvv): the capacity axis that
+# works when there is only ONE device — the role of the reference's HDF5
+# out-of-core eris (pyscf/cc/ccsd.py:1611), cc/stream_ladder design
+# ---------------------------------------------------------------------------
+
+STREAM_NTILE = 16
+
+
+def test_governor_model_proves_streamed_capacity_gap():
+    full = mem.ccsd_working_set_bytes(NOCC, NVIR, NAUX, ntile=STREAM_NTILE,
+                                      dtype="float64", ndev=1)
+    streamed = mem.ccsd_working_set_bytes(NOCC, NVIR, NAUX,
+                                          ntile=STREAM_NTILE,
+                                          dtype="float64", ndev=1,
+                                          stream_vv=True)
+    lvv_bytes = NAUX * NVIR * NVIR * 8
+    assert full > BUDGET, f"shape too small to prove anything: {full}"
+    assert lvv_bytes > BUDGET, "Lvv alone must exceed the budget"
+    assert streamed < BUDGET, f"streamed footprint must fit: {streamed}"
+
+
+def test_streamed_update_matches_resident_beyond_budget():
+    from pyscf_mpcc_tpu.lib import hoststore
+
+    eris = ge._synthetic_eris(nocc=NOCC, nvir=NVIR, naux=NAUX,
+                              dtype=jnp.float64, build_ovvv=False)
+    _, t1, t2 = rccsd.init_amps(eris)
+    ref1, ref2 = rccsd.update_amps(t1, t2, eris, ntile=STREAM_NTILE)
+
+    handle = hoststore.put(np.asarray(eris.Lvv))
+    try:
+        er_s = eris._replace(Lvv=None,
+                             Lvv_stream=jnp.asarray(handle, jnp.int32))
+        out1, out2 = rccsd.update_amps(t1, t2, er_s, ntile=STREAM_NTILE)
+        # Lvv is REALLY host-resident, not a device copy
+        assert er_s.Lvv is None
+        assert hoststore.get(handle).nbytes == NAUX * NVIR * NVIR * 8
+        s1 = float(jnp.abs(ref1).max())
+        s2 = float(jnp.abs(ref2).max())
+        assert float(jnp.abs(out1 - ref1).max()) / s1 < 1e-13
+        assert float(jnp.abs(out2 - ref2).max()) / s2 < 1e-13
+    finally:
+        hoststore.drop(handle)
