@@ -27,7 +27,11 @@ import time
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(_HERE, ".."))
 
-SCRATCH = os.path.join(_HERE, "..", ".scratch", "oh3w_parity")
+BASIS = os.environ.get("OS_BASIS", "cc-pvdz")
+# checkpoints outside .scratch (survive round restarts), one dir per basis
+SCRATCH = os.environ.get(
+    "OS_SCRATCH",
+    os.path.join(_HERE, "..", ".campaign", "oh3w_parity_" + BASIS))
 
 # OH radical donating to water A; waters B/C donating back to the
 # radical oxygen (O-O ~ 2.75-2.9 A, no contacts under 0.93 A)
@@ -40,7 +44,6 @@ GEOM = (
     "O -2.6000 0.9000 -0.7000; H -1.7208 0.5957 -0.4633; "
     "H -2.8768 0.0234 -0.4232"
 )
-BASIS = "cc-pvdz"
 
 
 def build_mf():
@@ -109,7 +112,8 @@ def stage_fp32():
                                        diis_backend=diis_backend)
     print(f"[{time.time()-t0:7.1f}s] ulambda converged={convl}",
           flush=True)
-    et = uccsd_t.kernel(t1, t2, er, tile=4)
+    et = uccsd_t.kernel(t1, t2, er,
+                        tile=int(os.environ.get("OS_TILE", "4")))
     print(f"[{time.time()-t0:7.1f}s] E(T)(UCCSD(T)) = {et:.10f}",
           flush=True)
     np.savez(os.path.join(SCRATCH, "amps.npz"),
@@ -132,32 +136,17 @@ def stage_fp64():
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
-    from pyscf_mpcc_tpu.cc import lambda_ad
+    from pyscf_mpcc_tpu.cc import lambda_ad, uccsd
 
     t0 = time.time()
     mo_a, mo_b, fa, fb, B, e_scf, na, nb = _scf_arrays(True)
     a = np.load(os.path.join(SCRATCH, "amps.npz"))
-    # fp64 per-spin MO integrals from the SAME DF factors (chemists')
-    from pyscf_mpcc_tpu import gto
-    mol, _ = build_mf()
-    hcore = None
-    from pyscf_mpcc_tpu.gto import intor_ovlp_kin, intor_nuc
-    _, tmat = intor_ovlp_kin(mol)
-    hcore = tmat + intor_nuc(mol)
-
-    def mo3c(c):
-        t = np.einsum("Lpq,pi->Liq", B, c, optimize=True)
-        return np.einsum("Liq,qj->Lij", t, c, optimize=True)
-
-    Ba, Bb = mo3c(mo_a), mo3c(mo_b)
-    g_aa = np.einsum("Lpq,Lrs->pqrs", Ba, Ba, optimize=True)
-    g_ab = np.einsum("Lpq,LRS->pqRS", Ba, Bb, optimize=True)
-    g_bb = np.einsum("LPQ,LRS->PQRS", Bb, Bb, optimize=True)
-    h_a = mo_a.T @ hcore @ mo_a
-    h_b = mo_b.T @ hcore @ mo_b
-    print(f"[{time.time()-t0:7.1f}s] fp64 DF-MO integrals assembled "
-          f"(nmo={h_a.shape[0]})", flush=True)
-
+    # fp64 DF UERIs from the SAME factors — never materializes an nmo^4
+    # tensor (the round-3 dense path needed 3 x nmo^4 fp64, which caps
+    # out already at cc-pVTZ; lagrangian_energy_u is DF-factorized)
+    er = uccsd.make_eris_df(B, mo_a, mo_b, fa, fb, na, nb)
+    print(f"[{time.time()-t0:7.1f}s] fp64 DF-UCCSD eris on host "
+          f"(nmo={mo_a.shape[1]})", flush=True)
     t1 = (jnp.asarray(a["t1a"], jnp.float64),
           jnp.asarray(a["t1b"], jnp.float64))
     t2 = tuple(jnp.asarray(a[k], jnp.float64)
@@ -166,14 +155,10 @@ def stage_fp64():
           jnp.asarray(a["l1b"], jnp.float64))
     l2 = tuple(jnp.asarray(a[k], jnp.float64)
                for k in ("l2aa", "l2ab", "l2bb"))
-    e_lagr = float(lambda_ad._u_lagrangian_of_integrals(
-        jnp.asarray(h_a), jnp.asarray(h_b), jnp.asarray(g_aa),
-        jnp.asarray(g_ab), jnp.asarray(g_bb), t1, t2, l1, l2, na, nb))
-    e_nuc = mol.energy_nuc()
-    e32_tot = float(a["e32"]) + e_scf
-    e64_tot = e_lagr + e_nuc
-    out = dict(stage="fp64", e_lagr_tot=e64_tot, e32_tot=e32_tot,
-               abs_dE=abs(e64_tot - e32_tot), et32=float(a["et"]),
+    e_lagr = float(lambda_ad.lagrangian_energy_u(t1, t2, l1, l2, er))
+    out = dict(stage="fp64", e_corr_lagr=e_lagr,
+               e_corr_32=float(a["e32"]),
+               abs_dE=abs(e_lagr - float(a["e32"])), et32=float(a["et"]),
                wall_s=round(time.time() - t0, 1))
     print("OSPARITY " + json.dumps(out), flush=True)
 

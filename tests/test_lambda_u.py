@@ -222,3 +222,32 @@ def test_uccsd_rdm_energy_identity_o2():
                   + jnp.einsum("pqrs,pqrs->", g_ab, d2ab))
     e_hf_elec = mf.e_tot - mol.energy_nuc()
     assert abs(e_rdm - (e_hf_elec + float(e_corr))) < 1e-8
+
+
+def test_u_lagrangian_df_factorized_stationary():
+    """lagrangian_energy_u (DF-factorized, used by the open-shell fp64
+    certification stage) is exact at the fixed point and quadratic in
+    amplitude perturbations — the stationarity property the
+    openshell_certify protocol rests on."""
+    from pyscf_mpcc_tpu.scf import UHF
+
+    mol = gto.M(atom="O 0 0 0; H 0 0 0.97", basis="cc-pvdz", spin=1)
+    mf = UHF(mol)
+    mf.conv_tol = 1e-12
+    mf.kernel()
+    er = uccsd.eris_from_scf(mf)
+    conv, e_corr, t1, t2 = uccsd.kernel(er, conv_tol=1e-11,
+                                        conv_tol_normt=1e-9,
+                                        max_cycle=200)
+    assert conv
+    cl, l1, l2 = lambda_ad.kernel_u(t1, t2, er, conv_tol=1e-9,
+                                    max_cycle=100)
+    assert cl
+    el = float(lambda_ad.lagrangian_energy_u(t1, t2, l1, l2, er))
+    assert abs(el - float(e_corr)) < 1e-9
+
+    rng = np.random.default_rng(0)
+    t1p = tuple(a + jnp.asarray(rng.standard_normal(a.shape)) * 1e-4
+                for a in t1)
+    el_p = float(lambda_ad.lagrangian_energy_u(t1p, t2, l1, l2, er))
+    assert abs(el_p - float(e_corr)) < 1e-7   # O(|dt|^2) ~ 1e-8
