@@ -49,7 +49,24 @@ def _default_scoped_dir(base: str) -> str:
     except Exception:
         backend = "unknown"
     backend = backend.replace(",", "+")
-    return os.path.join(base, "%s-%s" % (backend, platform.machine()))
+    # machine() alone is not enough: two x86_64 hosts with different
+    # ISA extensions (avx512/amx subsets) still SIGILL-cross-load each
+    # other's AOT executables (observed on this project's VM after a
+    # migration) — fold a hash of the CPU feature flags in
+    feat = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    import hashlib
+                    feat = "-" + hashlib.sha1(
+                        " ".join(sorted(line.split(":", 1)[1].split()))
+                        .encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    return os.path.join(base, "%s-%s%s" % (backend, platform.machine(),
+                                           feat))
 
 
 def enable_compilation_cache(dirpath: str | None = None,
