@@ -168,6 +168,12 @@ def stage_fp32():
     lspace = int(os.environ.get("W8_LAMBDA_DIIS_SPACE",
                                 str(max(2, diis_space - 1))))
     lbackend = os.environ.get("W8_LAMBDA_DIIS_BACKEND", diis_backend)
+    # bf16 error ring (lib/device_diis.init err_dtype): the round-4
+    # default for the device Lambda ring — the fp32 ring did not co-fit
+    # with the pair-ladder vjp at this shape (round 3)
+    ledtype = os.environ.get("W8_LAMBDA_DIIS_ERR_DTYPE", "bfloat16")
+    lerr = getattr(jnp, ledtype) if (lbackend == "device" and ledtype
+                                     not in ("", "none")) else None
     from pyscf_mpcc_tpu.lib.diis import DIIS as _DIIS
     lspill = os.path.join(SCRATCH, "lambda_diis.npz")
     ladiis = (_DIIS.restore(lspill)
@@ -180,6 +186,7 @@ def stage_fp32():
                                   ntile=_lambda_ntile(nvir, ntile),
                                   verbose=5, diis_backend=lbackend,
                                   diis_space=lspace, adiis=ladiis,
+                                  diis_err_dtype=lerr,
                                   diis_file=lspill if lbackend == "host"
                                   else None)
     print(f"[{time.time()-t0:7.1f}s] lambda converged={cl}", flush=True)
