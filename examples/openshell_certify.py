@@ -28,10 +28,16 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(_HERE, ".."))
 
 BASIS = os.environ.get("OS_BASIS", "cc-pvdz")
+# matched jkfit aux (the default 'weigend' universal-jfit is a J-only
+# set, naux ~ 0.8 nao — fine for the pVDZ smoke certification, too thin
+# to exercise the correlation envelope at pVTZ)
+AUXBASIS = os.environ.get("OS_AUXBASIS",
+                          BASIS + "-jkfit" if "pvtz" in BASIS else None)
 # checkpoints outside .scratch (survive round restarts), one dir per basis
 SCRATCH = os.environ.get(
     "OS_SCRATCH",
-    os.path.join(_HERE, "..", ".campaign", "oh3w_parity_" + BASIS))
+    os.path.join(_HERE, "..", ".campaign", "oh3w_parity_" + BASIS
+                 + (("_" + AUXBASIS) if AUXBASIS else "")))
 
 # OH radical donating to water A; waters B/C donating back to the
 # radical oxygen (O-O ~ 2.75-2.9 A, no contacts under 0.93 A)
@@ -50,7 +56,7 @@ def build_mf():
     from pyscf_mpcc_tpu import gto
     from pyscf_mpcc_tpu.scf import UHF
     mol = gto.M(atom=GEOM, basis=BASIS, spin=1)
-    mf = UHF(mol).density_fit()
+    mf = UHF(mol).density_fit(AUXBASIS)
     mf.conv_tol = 1e-10
     return mol, mf
 

@@ -124,6 +124,12 @@ def stage_fp32():
     # vs hours.  Knobs keep the host ring available as the fallback.
     diis_backend = os.environ.get("W8_DIIS_BACKEND", "device")
     diis_space = int(os.environ.get("W8_DIIS_SPACE", "3"))
+    # bf16 error ring for the forward device ring too (round 4): the
+    # pair-mirrored ladder's working set no longer co-fits with a full
+    # fp32 space-3 ring at this shape
+    edtype = os.environ.get("W8_DIIS_ERR_DTYPE", "bfloat16")
+    derr = getattr(jnp, edtype) if (diis_backend == "device" and edtype
+                                    not in ("", "none")) else None
     if "--reuse-scf" in sys.argv and os.path.exists(t_path):
         zt = np.load(t_path)
         t1, t2 = jnp.asarray(zt["t1"]), jnp.asarray(zt["t2"])
@@ -152,7 +158,7 @@ def stage_fp32():
             er, conv_tol=cconv, conv_tol_normt=cnormt,
             max_cycle=80, ntile=ntile, verbose=5,
             diis_backend=diis_backend, diis_space=diis_space,
-            adiis=adiis,
+            adiis=adiis, diis_err_dtype=derr,
             diis_file=spill if diis_backend == "host" else None)
         print(f"[{time.time()-t0:7.1f}s] fp32 E_corr(CCSD) = {e32:.10f} "
               f"converged={conv}", flush=True)

@@ -149,31 +149,33 @@ def pair_ladder_sym(tau, Ld, ntile):
     # in the forward-only solve.
     block_fn = jax.checkpoint(pair_fn)
 
-    # Assembly writes each block (and its A<B mirror, Ht2[ij,Btile,Atile]
-    # = Ht2[ji,Atile,Btile]^T) straight into the FINAL 4D layout with
-    # dynamic_update_slice inside the scan.  The earlier stack/scatter/
-    # transpose assembly (lax.map -> out6.at[].set -> 6-axis transpose)
-    # kept full-output remat copies in (..., tsz, tsz)-minor layouts
-    # under vjp, which Mosaic tiling pads ~4.7x — three such temps put
-    # the (H2O)8 Lambda step 2.4 GB over HBM.  The dus chain is linear
-    # in the carry, so the scan vjp saves no per-iteration carries: the
-    # backward sweep holds ONE output-sized cotangent and slices block
-    # cotangents out of it.
+    # Assembly writes each A>=B block straight into the FINAL 4D layout
+    # with dynamic_update_slice inside the scan; the A<B mirrors
+    # (Ht2[ij,Btile,Atile] = Ht2[ji,Atile,Btile]^T) are applied ONCE
+    # after the scan as S + S.transpose(1,0,3,2), with diagonal blocks
+    # pre-halved (they are their own mirror for symmetric tau).  Earlier
+    # assemblies that moved transposed data inside the scan — the
+    # stack/scatter/6-axis-transpose version AND the per-iteration
+    # mirrored dus write — made XLA materialize transposed copies of the
+    # output-sized carry whose minor-most dim is nocc, which Mosaic
+    # tiling pads nocc->128 (4x at (H2O)8 shape: two 3.06 GB HLO temps,
+    # 763 MB over HBM in the Lambda jvp).  The single post-scan
+    # symmetrization is one fusible tiled transpose; the dus chain is
+    # linear in the carry, so the scan vjp saves no per-iteration
+    # carries: the backward sweep holds ONE output-sized cotangent and
+    # slices block cotangents out of it.
     def body(out, ab):
         blk = block_fn(ab)
-        z = jnp.int32(0)
-        oa = ab[0] * tsz
-        ob = ab[1] * tsz
-        # mirror first: on the diagonal (oa == ob) both writes target the
-        # same slot and the direct block wins (it equals its own mirror
-        # for symmetric tau, and AD sees the overwrite exactly)
+        # halve diagonal blocks: the post-scan S + S^T counts them twice
+        blk = jnp.where(ab[0] == ab[1], 0.5, 1.0).astype(blk.dtype) * blk
         out = jax.lax.dynamic_update_slice(
-            out, blk.transpose(1, 0, 3, 2), (z, z, ob, oa))
-        out = jax.lax.dynamic_update_slice(out, blk, (z, z, oa, ob))
+            out, blk, (jnp.int32(0), jnp.int32(0), ab[0] * tsz,
+                       ab[1] * tsz))
         return out, None
 
     out0 = jnp.zeros((nocc, nocc, nvp, nvp), tau.dtype)
-    out, _ = jax.lax.scan(body, out0, jnp.asarray(pairs))
+    s, _ = jax.lax.scan(body, out0, jnp.asarray(pairs))
+    out = s + s.transpose(1, 0, 3, 2)
     if pad:
         out = out[:, :, :nvir, :nvir]
     return out
@@ -577,14 +579,17 @@ def residual_from_segments(t1, t2, eris: RERIs, ntile=1, variant="ccsd"):
 def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
            diis_space=6, level_shift=0.0, verbose=0, t1=None, t2=None,
            ntile=1, diis_start_cycle=0, variant="ccsd",
-           diis_backend="host", adiis=None, diis_file=None):
+           diis_backend="host", adiis=None, diis_file=None,
+           diis_err_dtype=None):
     """Host-driven CCSD iteration with DIIS (reference cc/ccsd.py:44).
 
     adiis: preloaded host DIIS object (lib.diis.DIIS.restore) to resume a
     run with its extrapolation history (reference cc/ccsd.py:781
     restore_from_diis_); diis_file: spill the ring buffer there every
-    cycle so the run is preemption-safe.  Returns (converged, e_corr,
-    t1, t2).
+    cycle so the run is preemption-safe.  diis_err_dtype=jnp.bfloat16
+    halves the device error-ring HBM footprint (device backend only; the
+    hostsolve hybrid solves B in fp64 either way).  Returns (converged,
+    e_corr, t1, t2).
     """
     from pyscf_mpcc_tpu.lib.diis import DIIS
     from pyscf_mpcc_tpu.lib import logger as lg
@@ -605,7 +610,8 @@ def kernel(eris: RERIs, max_cycle=50, conv_tol=1e-8, conv_tol_normt=1e-6,
         # the B-matrix solve, and the extrapolation are all jitted
         from pyscf_mpcc_tpu.lib import device_diis
         n_all = nocc * nvir + int(np.prod(t2.shape))
-        dstate = device_diis.init(n_all, diis_space, t2.dtype)
+        dstate = device_diis.init(n_all, diis_space, t2.dtype,
+                                  err_dtype=diis_err_dtype)
         pack = jax.jit(lambda a, b: jnp.concatenate([a.ravel(), b.ravel()]))
         vec_old = pack(t1, t2)
     else:
