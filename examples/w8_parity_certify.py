@@ -45,12 +45,14 @@ FROZEN = 8
 
 
 def _lambda_ntile(nvir, base):
-    """Ladder tile count for the Lambda/residual pass: the vjp through
-    the DF ladder roughly doubles the live block set (the rematerialized
-    pair W block plus its cotangent), so double the forward tile count —
-    the pair block area quarters.  The pair-tiled ladder zero-pads, so
-    no divisor constraint applies."""
-    return min(2 * max(base, 1), nvir)
+    """Ladder tile count for the Lambda/residual pass.  Round 3 doubled
+    the forward tile count (smaller vjp pair blocks); the round-4 AOT
+    memory sweep (tools/lambda_mem_probe.py) shows the step's peak is
+    NOT the ladder segment once the t1 segment is split and the k-seeds
+    are barrier-threaded — the forward tile count is the measured
+    optimum (temp 7.50 GiB at ntile=8 vs 8.39 at 6/12/16 for (H2O)8)."""
+    env = int(os.environ.get("W8_LAMBDA_NTILE", "0"))
+    return env or min(max(base, 1), nvir)
 
 
 def build_mf():

@@ -455,16 +455,33 @@ def residual_segments(eris: RERIs, ntile=1, variant="ccsd",
             Lvv = Fvv_nd - jnp.einsum("kc,ka->ac", fov, t1) + lvv_t1
         return Loo, Lvv
 
-    def seg_t1(t1, t2):
-        Foo_nd, Fvv_nd, Fov = _kappa(t1, t2)
+    # The R1 residual is decomposed into FOUR sub-segments: its backward
+    # accumulates one t2-sized cotangent partial per ovov.t2 / ovoo.t2
+    # chain, and XLA schedules independent partials concurrently — the
+    # monolithic seg_t1 vjp measured 6.6 GiB of temps at (H2O)8 shape
+    # (tools/lambda_seg_probe.py), the single peak of the whole Lambda
+    # step.  Split along the intermediate families, each piece holds at
+    # most two t2-sized partials.
+    def seg_t1_fvv(t1, t2):
+        _, Fvv_nd, _ = _kappa(t1, t2)
         r = fov.conj().astype(t1.dtype) + jnp.zeros_like(t1)
         r -= 2.0 * jnp.einsum("kc,ka,ic->ia", fov, t1, t1)
         r += jnp.einsum("ac,ic->ia", Fvv_nd, t1)
-        r -= jnp.einsum("ki,ka->ia", Foo_nd, t1)
-        r += 2.0 * jnp.einsum("kc,kica->ia", Fov, t2)
+        return r
+
+    def seg_t1_foo(t1, t2):
+        Foo_nd, _, _ = _kappa(t1, t2)
+        return -jnp.einsum("ki,ka->ia", Foo_nd, t1)
+
+    def seg_t1_fov(t1, t2):
+        _, _, Fov = _kappa(t1, t2)
+        r = 2.0 * jnp.einsum("kc,kica->ia", Fov, t2)
         r -= jnp.einsum("kc,ikca->ia", Fov, t2)
         r += jnp.einsum("kc,ic,ka->ia", Fov, t1, t1)
-        r += 2.0 * jnp.einsum("kcai,kc->ia", ovvo, t1)
+        return r
+
+    def seg_t1_rest(t1, t2):
+        r = 2.0 * jnp.einsum("kcai,kc->ia", ovvo, t1)
         r -= jnp.einsum("kiac,kc->ia", oovv, t1)
         r += vops.t1_t2_terms(t2)
         r += jnp.einsum("ac,ic->ia", vops.lvv_t1(t1), t1)
@@ -473,6 +490,10 @@ def residual_segments(eris: RERIs, ntile=1, variant="ccsd",
         r -= 2.0 * jnp.einsum("lcki,lc,ka->ia", ovoo, t1, t1)
         r += jnp.einsum("kcli,lc,ka->ia", ovoo, t1, t1)
         return r
+
+    def seg_t1(t1, t2):
+        return (seg_t1_fvv(t1, t2) + seg_t1_foo(t1, t2)
+                + seg_t1_fov(t1, t2) + seg_t1_rest(t1, t2))
 
     def seg_k_light(t1, t2):
         Foo_nd, Fvv_nd, _ = _kappa(t1, t2)
@@ -543,7 +564,8 @@ def residual_segments(eris: RERIs, ntile=1, variant="ccsd",
             return _ladder_vvvv(tau, t1, eris)
         return _ladder_df(tau, t1, eris, ntile)
 
-    segs = [(seg_t1, "r1"), (seg_k_light, "k")]
+    segs = [(seg_t1_fvv, "r1"), (seg_t1_foo, "r1"), (seg_t1_fov, "r1"),
+            (seg_t1_rest, "r1"), (seg_k_light, "k")]
     if variant == "ccd":
         segs = [(seg_k_light, "k")]
     if variant != "cc2":
