@@ -111,12 +111,13 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # axis (nocc^2 >= 128) or the virtual axis last.
     if engine == "auto":
         engine = "fused" if jax.default_backend() == "tpu" else "xla"
-    if engine not in ("fused", "xla"):
+    if engine not in ("fused", "xla", "resident"):
         # the round-2/3 engine study variants (fused2/3/4) were retired
         # after the roofline settled the design (docs/PARITY.md "(T)
-        # engine roofline"); 'fused' is the winner + grid-batched chunks
+        # engine roofline"); 'fused' is the per-tile epilogue kernel,
+        # 'resident' (round 4) moves the W dots inside the kernel
         raise ValueError(f"unknown (T) engine {engine!r}; use 'fused', "
-                         "'xla' or 'auto'")
+                         "'resident', 'xla' or 'auto'")
 
     # t2T[c, f, (j,k)] = t2[k, j, c, f]
     t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
@@ -124,11 +125,16 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # vooo[a, i, (j,m)] = (ia|jm)
     vooo = padv(eris.ovoo.astype(dtype).transpose(1, 0, 2, 3), [0])
     vooo = vooo.reshape(vooo.shape[0], nocc, nocc * nocc)
-    if engine == "fused":
-        # swapped-pair layout t2Ts[c, f, (k,j)] and tile-axes-leading
-        # oovv_T[x, y, i, j] = (ix|jy) for canonical-emission dots
-        t2Ts = padv(t2.astype(dtype).transpose(2, 3, 0, 1), [0, 1])
-        t2Ts = t2Ts.reshape(t2Ts.shape[0], t2Ts.shape[1], nocc * nocc)
+    if engine in ("fused", "resident"):
+        # tile-axes-leading oovv_T[x, y, i, j] = (ix|jy) for the kernels;
+        # the swapped-pair layout t2Ts[c, f, (k,j)] only feeds the fused
+        # engine's canonical-emission dots (the resident kernel derives
+        # every perm from the jk layout alone)
+        if engine == "fused":
+            t2Ts = padv(t2.astype(dtype).transpose(2, 3, 0, 1), [0, 1])
+            t2Ts = t2Ts.reshape(t2Ts.shape[0], t2Ts.shape[1], nocc * nocc)
+        else:
+            t2Ts = None
         oovv_T = padv(eris.ovov.astype(dtype).transpose(1, 3, 0, 2), [0, 1])
         oovv_r = None
     else:
@@ -168,6 +174,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                       fvo_p=fvo_p, ev_p=ev_p, eo=eo)
     if engine == "fused":
         big_arrays["t2Ts"] = t2Ts
+        big_arrays["oovv_T"] = oovv_T
+    elif engine == "resident":
         big_arrays["oovv_T"] = oovv_T
     else:
         big_arrays["oovv_r"] = oovv_r
@@ -424,6 +432,111 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
         return tile_energy
 
+    def make_prep_resident(big, rmode):
+        """Per-tile XLA prep for the resident kernel: operand slices only
+        (the W dots run in-kernel), hi/lo bf16-split for rmode='split'."""
+        from pyscf_mpcc_tpu.ops.triples_resident import (
+            PAIRS6, PAIRS9, hilo)
+        t2T = big["t2T"]
+        vooo = big["vooo"]
+        oovv_T = big["oovv_T"]
+        t1p = big["t1p"]
+        fvo_p = big["fvo_p"]
+        ev_p = big["ev_p"]
+        ovvv = big.get("ovvv")
+        Lov = big.get("Lov")
+        Lvv = big.get("Lvv")
+        act_vir = big.get("act_vir")
+        zi32 = jnp.int32(0)
+
+        def conv(x):
+            if rmode == "split":
+                return hilo(x)
+            if rmode == "bf16":
+                return x.astype(jnp.bfloat16)
+            return x
+
+        def prep(abc):
+            starts = tuple(jnp.int32(abc[r] * T) for r in range(3))
+            if ovvv is None:
+                lo = [jax.lax.dynamic_slice(
+                    Lov, (zi32, zi32, s), (Lov.shape[0], o, T))
+                    for s in starts]
+                lv = [jax.lax.dynamic_slice(
+                    Lvv, (zi32, zi32, s), (Lvv.shape[0], nvp, T))
+                    for s in starts]
+            ovbl = []
+            for (xi, yi) in PAIRS6:
+                if ovvv is not None:
+                    blk = jax.lax.dynamic_slice(
+                        ovvv, (zi32, starts[xi], zi32, starts[yi]),
+                        (o, T, nvp, T))
+                    ovbl.append(conv(blk.transpose(1, 3, 0, 2)))
+                else:
+                    ovbl.append(conv(jnp.einsum(
+                        "Lix,Lfy->xyif", lo[xi], lv[yi],
+                        preferred_element_type=dtype, precision=prec)))
+            t2sl = [conv(jax.lax.dynamic_slice(
+                t2T, (s, zi32, zi32), (T, nvp, oo))) for s in starts]
+            vooo_t = jnp.stack([jax.lax.dynamic_slice(
+                vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, oo, o)
+                for s in starts])
+            t2p9 = jnp.stack([jax.lax.dynamic_slice(
+                t2T, (starts[r1], starts[r2], zi32),
+                (T, T, oo)).reshape(T, T, o, o) for (r1, r2) in PAIRS9])
+            oovv9 = jnp.stack([jax.lax.dynamic_slice(
+                oovv_T, (starts[r1], starts[r2], zi32, zi32), (T, T, o, o))
+                for (r1, r2) in PAIRS9])
+            t1_t = jnp.stack([jax.lax.dynamic_slice(
+                t1p, (zi32, s), (o, T)).T for s in starts])
+            fvo_t = jnp.stack([jax.lax.dynamic_slice(
+                fvo_p, (s, zi32), (T, o)) for s in starts])
+            ev3 = [jax.lax.dynamic_slice(ev_p, (s,), (T,)) for s in starts]
+            eabc3 = (ev3[0][:, None, None] + ev3[1][None, :, None]
+                     + ev3[2][None, None, :])
+            g3 = [s + jnp.arange(T, dtype=jnp.int32) for s in starts]
+            ga = g3[0][:, None, None]
+            gb = g3[1][None, :, None]
+            gc = g3[2][None, None, :]
+            wgt3 = jnp.where(
+                (ga > gb) & (gb > gc), 1.0,
+                jnp.where((ga == gb) & (gb == gc), 1.0 / 6.0,
+                          jnp.where((ga >= gb) & (gb >= gc), 0.5,
+                                    0.0))).astype(dtype)
+            out = (t2sl, ovbl, vooo_t, t2p9, oovv9, t1_t, fvo_t, eabc3,
+                   wgt3)
+            if act_vir is not None:
+                a3 = [jax.lax.dynamic_slice(act_vir, (s,), (T,))
+                      for s in starts]
+                act3 = (a3[0][:, None, None] * a3[1][None, :, None]
+                        * a3[2][None, None, :]).astype(dtype)
+                out = out + (act3,)
+            return out
+        return prep
+
+    def make_tile_energy_resident(big, rmode, interpret=False):
+        """Per-tile scan body for the resident engine (one pallas_call
+        per tile, grid (T,) over the a-virtuals)."""
+        from pyscf_mpcc_tpu.ops.triples_resident import (
+            tile_energy_resident)
+        prep = make_prep_resident(big, rmode)
+        eijk, actocc3 = _fused_shared(big)
+        has_act = big.get("act_occ") is not None
+
+        def tile_energy(carry, abc):
+            out = prep(abc)
+            (t2sl, ovbl, vooo_t, t2p9, oovv9, t1_t, fvo_t, eabc3,
+             wgt3) = out[:9]
+            kw = dict(interpret=interpret, mode=rmode)
+            if has_act:
+                kw.update(act3=out[9], actocc=actocc3.astype(dtype),
+                          act_mode=mode)
+            e = tile_energy_resident(t2sl, ovbl, vooo_t, t2p9, oovv9,
+                                     t1_t, fvo_t, eijk, eabc3, wgt3, **kw)
+            return carry + e.astype(carry.dtype), e
+
+        return tile_energy
+
     def make_chunk_energy_fused(big, interpret=False):
         """Grid-batched chunk body: lax.scan stacks K tiles of prep
         outputs, then ONE pallas_call with grid (K, T, T) processes the
@@ -450,11 +563,26 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
         return chunk_energy
 
+    rmode = None
     if engine == "fused":
         interp = jax.default_backend() != "tpu"
 
         def tile_fn(big):
             return make_tile_energy_fused(big, interpret=interp)
+    elif engine == "resident":
+        interp = jax.default_backend() != "tpu"
+        if prec == jax.lax.Precision.HIGH:
+            rmode = "split"
+        elif prec == jax.lax.Precision.HIGHEST:
+            rmode = "f32"
+        else:
+            gp = str(jax.config.jax_default_matmul_precision)
+            rmode = ("f32" if gp in ("highest", "float32")
+                     else "split" if gp in ("high", "bfloat16_3x")
+                     else "bf16")
+
+        def tile_fn(big):
+            return make_tile_energy_resident(big, rmode, interpret=interp)
     else:
         tile_fn = make_tile_energy
 
@@ -514,8 +642,10 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                  jax.default_backend(),
                  # precision enters the traced dots (MXU pass count); a
                  # cache hit across a config flip would return the stale
-                 # executable
-                 str(jax.config.jax_default_matmul_precision))
+                 # executable — BOTH the global flag and the per-call
+                 # dot_precision/resident-mode are part of the key
+                 str(jax.config.jax_default_matmul_precision),
+                 str(prec), rmode)
     ntrips = trips.shape[0]
     total = 0.0
     if engine == "fused" and chunk > 1:

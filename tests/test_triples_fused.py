@@ -93,6 +93,68 @@ def test_chunked_grid_tiles_per_call_slabs():
     np.testing.assert_allclose(e_slab, e_one, rtol=1e-12, atol=1e-13)
 
 
+def _df_problem(nocc=3, nvir=7, naux=11, seed=13):
+    rng = np.random.default_rng(seed)
+    t1, t2, eris = _rand_problem(nocc, nvir, seed)
+    Lov = rng.standard_normal((naux, nocc, nvir)) * 0.1
+    Lvv = rng.standard_normal((naux, nvir, nvir)) * 0.1
+    Lvv = 0.5 * (Lvv + Lvv.transpose(0, 2, 1))
+    eris.ovvv = None
+    eris.Lov = jnp.asarray(Lov)
+    eris.Lvv = jnp.asarray(Lvv)
+    return t1, t2, eris
+
+
+def test_resident_engine_matches_xla_engine():
+    # resident engine (in-kernel W dots, interpret mode on CPU) vs the
+    # pure-XLA engine, exact at 'f32' mode (plain fp64 dots under x64)
+    t1, t2, eris = _rand_problem()
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_res = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="resident",
+                                dot_precision="highest"))
+    np.testing.assert_allclose(e_res, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_resident_engine_df_matches_xla_engine():
+    t1, t2, eris = _df_problem()
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_res = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="resident",
+                                dot_precision="highest"))
+    np.testing.assert_allclose(e_res, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_resident_engine_active_mask_matches_xla():
+    t1, t2, eris = _rand_problem(seed=11)
+    for m in ("only_active", "exclude_active"):
+        kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode=m)
+        e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla",
+                                    **kw))
+        e_res = float(ccsd_t.kernel(t1, t2, eris, tile=3,
+                                    engine="resident",
+                                    dot_precision="highest", **kw))
+        np.testing.assert_allclose(e_res, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_resident_split_mode_tracks_bf16x3():
+    # 'split' (manual hi/lo bf16x3) must agree with the exact value to
+    # bf16x3-class accuracy — loose bound, catches wiring errors only
+    t1, t2, eris = _rand_problem(seed=2)
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_res = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="resident",
+                                dot_precision="high"))
+    np.testing.assert_allclose(e_res, e_xla, rtol=5e-4)
+
+
+def test_resident_odd_tile_padding():
+    # nvir=7 with tile=4 -> padded virtuals exercise the weight-zero and
+    # 1e6-denominator padding in the resident prep
+    t1, t2, eris = _rand_problem(seed=9)
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=4, engine="xla"))
+    e_res = float(ccsd_t.kernel(t1, t2, eris, tile=4, engine="resident",
+                                dot_precision="highest"))
+    np.testing.assert_allclose(e_res, e_xla, rtol=1e-10, atol=1e-12)
+
+
 def test_retired_engines_rejected():
     t1, t2, eris = _rand_problem()
     import pytest
