@@ -346,7 +346,12 @@ def _ladder_tiled(tau, L1, L2, ntile):
         w = jnp.einsum("Lae,Lbf->abef", l1, L2)
         return jnp.einsum("abef,ijef->ijab", w, tau)
 
-    out = jax.lax.map(tile_fn, L1t)
+    # checkpoint: under vjp (the unrestricted Lambda / RDM solvers) the
+    # scan would otherwise save every tile's 4-index w block for the
+    # backward pass — ~1.5 GiB/tile already at OH(H2O)3/cc-pVTZ, the
+    # first-cycle OOM of the round-4 open-shell campaign.  Same fix as
+    # pair_ladder_sym (which the same-spin blocks dispatch to).
+    out = jax.lax.map(jax.checkpoint(tile_fn), L1t)
     no1, no2 = tau.shape[0], tau.shape[1]
     out = out.transpose(1, 2, 0, 3, 4).reshape(no1, no2, ntile * ta,
                                                L2.shape[1])

@@ -87,76 +87,78 @@ def _occ_slots(p):
     return occ
 
 
-def _w1_terms(o, T, mode, f32, t2s, ovs):
-    """The six W1 dots as (contribution, transpose_to_canonical) pairs,
-    each unfused to 5D (tiles..., occ...) with a STATIC transpose into
-    the canonical (t_b, t_c, i, j, k) frame.
+def _w1_slab_plan(o, T, mode, f32, t2s, ovs):
+    """The six W1 dots with PAIR-FUSED outputs plus their slab-store
+    plans: (w_fused, acc_id, loop_axis, slab_transpose).
 
-    Reshape discipline (Mosaic-supported ops only): fusing/splitting a
-    MAJOR (non-minor) dim is free; the fused (j,k) pair is split either
-    as the minor axis (128-aligned minor split) or as a leading axis
-    (major split).  Source occupied d lands at canonical slot p[d];
-    choosing ov-side-first vs t2-side-first emission per perm leaves
-    exactly TWO lane-crossing transposes (perms (0,2,1) and (1,2,0)) —
-    the same op class as the fused kernel's Z transposes."""
-    def unf_minor(w):
-        # (..., OO) -> (..., o, o): minor split at the aligned boundary
-        return w.reshape(w.shape[:-1] + (o, o))
-
+    Mosaic cannot regroup the fused (j',k') output minor in registers
+    ("unsupported shape cast"), and stacking 32 lane extracts does not
+    lower either (vpad-offset concat).  Instead the caller extracts one
+    32-lane j'-slab at a time and STORES it into a scratch accumulator —
+    ref stores normalize layouts by construction.  acc_id 'W' is the
+    canonical frame (b,c,i,j,k); 'S' the minor-swapped frame
+    (b,c,i,k,j) used whenever the loop index j' lands at canonical k
+    (a minor-axis store would scatter lanes).  loop_axis is the frame
+    axis indexed by j' (always 2 or 3); slab_transpose maps the slab to
+    the frame order with the loop axis removed."""
     out = []
     # p=(0,1,2): ov(0,1)[A] (T_b,o_i,F) . t2[c] (T_c,F,OO)
-    # -> (T_b,i,T_c,j,k); canonical (b,c,i,j,k)
-    w = unf_minor(_dot3(ovs[(0, 1)], t2s[2], mode, f32, 2, 1))
-    out.append((w, (0, 2, 1, 3, 4)))
-    # p=(0,2,1): ov(0,2)[A] (T_c,o_i,F) . t2[b] -> (T_c,i,T_b,j',k');
-    # canonical (b,c,i,k',j')   [minor swap — lane-crossing 1/2]
-    w = unf_minor(_dot3(ovs[(0, 2)], t2s[1], mode, f32, 2, 1))
-    out.append((w, (2, 0, 1, 4, 3)))
-    # p=(1,0,2): ov(1,0)[:,A] (T_b,o_i',F) . t2[c] -> (T_b,i',T_c,j',k');
-    # canonical (b,c,j',i',k')
-    w = unf_minor(_dot3(ovs[(1, 0)], t2s[2], mode, f32, 2, 1))
-    out.append((w, (0, 2, 3, 1, 4)))
-    # p=(1,2,0): ov(1,2) (T_b,T_c,o_i',F) . t2[a][A] (F,OO)
-    # -> (T_b,T_c,i',j',k'); canonical (b,c,k',i',j')
-    # [minor rotation — lane-crossing 2/2]
-    w = unf_minor(_dot3(ovs[(1, 2)], t2s[0], mode, f32, 3, 0))
-    out.append((w, (0, 1, 4, 2, 3)))
-    # p=(2,0,1): t2-side first keeps i' minor: t2[b] (T_b,F,OO) .
-    # ov(2,0)[:,A] (T_c,o_i',F) -> (T_b, OO, T_c, i'); the fused pair is
-    # now a NON-minor axis — split it as a major split — then canonical
-    # (b,c,j',k',i') needs only major shuffles.
-    w = _dot3(t2s[1], ovs[(2, 0)], mode, f32, 1, 2)
-    w = w.reshape(T, o, o, T, o)                 # (T_b, j', k', T_c, i')
-    out.append((w, (0, 3, 1, 2, 4)))
-    # p=(2,1,0): t2[a][A] (F,OO) . ov(2,1) (T_c,T_b,o_i',F)
-    # -> (OO, T_c, T_b, i') -> (j',k',T_c,T_b,i'); canonical
-    # (b,c,k',j',i') — major shuffles only.
-    w = _dot3(t2s[0], ovs[(2, 1)], mode, f32, 0, 3)
-    w = w.reshape(o, o, T, T, o)
-    out.append((w, (3, 2, 1, 0, 4)))
+    w = _dot3(ovs[(0, 1)], t2s[2], mode, f32, 2, 1)   # (T_b,i,T_c,OO)
+    out.append((w, "W", 3, (0, 2, 1, 3)))
+    # p=(0,2,1): (T_c,i,T_b,OO); j'->canonical k -> frame S axis 3
+    w = _dot3(ovs[(0, 2)], t2s[1], mode, f32, 2, 1)
+    out.append((w, "S", 3, (2, 0, 1, 3)))
+    # p=(1,0,2): (T_b,i',T_c,OO); j'->canonical i (axis 2); (b,c,j=i',k)
+    w = _dot3(ovs[(1, 0)], t2s[2], mode, f32, 2, 1)
+    out.append((w, "W", 2, (0, 2, 1, 3)))
+    # p=(1,2,0): (T_b,T_c,i',OO); j'->canonical k -> S axis 3;
+    # (b,c,i=k',j=i')  [minor swap]
+    w = _dot3(ovs[(1, 2)], t2s[0], mode, f32, 3, 0)
+    out.append((w, "S", 3, (0, 1, 3, 2)))
+    # p=(2,0,1): (T_c,i',T_b,OO); j'->canonical i; (b,c,j=k',k=i')
+    w = _dot3(ovs[(2, 0)], t2s[1], mode, f32, 2, 1)
+    out.append((w, "W", 2, (2, 0, 3, 1)))
+    # p=(2,1,0): (T_c,T_b,i',OO); j'->canonical j; (b,c,i=k',k=i')
+    w = _dot3(ovs[(2, 1)], t2s[0], mode, f32, 3, 0)
+    out.append((w, "W", 3, (1, 0, 3, 2)))
     return out
 
 
-def _w2_term(o, T, f32, kprec, p, voo, t2p):
-    """One perm's W2 = vooo . t2 contribution, canonicalized:
-    w2[x,y,z,i,j,k] = sum_m vooo[x, (i,j), m] t2p[(z,y)][z,y,m,k]."""
-    xi, yi, zi = p
-    vb = voo[xi]                       # (oo, m) or (T, oo, m)
-    tm = t2p[(zi, yi)]                 # ([Tz], [Ty], m, k)
-    nl = vb.ndim - 1
-    nr = tm.ndim - 2
-    w2 = jax.lax.dot_general(vb, tm, (((nl,), (nr,)), ((), ())),
-                             preferred_element_type=f32, precision=kprec)
-    # axes: [Tx] (i,j) [Tz] [Ty] k — unfuse the MAJOR (i,j) pair
-    lead = (T,) if xi != 0 else ()
-    mid = tuple(T for r in (zi, yi) if r != 0)
-    w2 = w2.reshape(lead + (o, o) + mid + (o,))
-    names = ([f"t{xi}"] if xi != 0 else []) + ["i", "j"] \
-        + ([f"t{zi}"] if zi != 0 else []) + ([f"t{yi}"] if yi != 0 else []) \
-        + ["k"]
-    occ = _occ_slots(p)
-    tgt = ["t1", "t2"] + occ
-    return jnp.transpose(w2, tuple(names.index(n) for n in tgt))
+def _unf_minor(o, w):
+    """(..., fused pair) -> (..., p1, p2) via static 32-lane extracts
+    (a direct minor reshape is an unsupported Mosaic shape cast)."""
+    parts = [jax.lax.slice_in_dim(w, j * o, (j + 1) * o,
+                                  axis=w.ndim - 1) for j in range(o)]
+    return jnp.stack(parts, axis=-2)
+
+
+def _w2_slab_plan(o, T, f32, kprec, voo, t2p):
+    """The six W2 = vooo . t2 dots with fused (i,j) outputs plus slab
+    plans (see _w1_slab_plan; here the extract loop runs over i'):
+    w2[x,y,z,i,j,k] = sum_m vooo[x,(i,j),m] t2p[(z,y)][..,m,k], emitted
+    t2-side-first so the fused pair is the 128-aligned output minor."""
+    out = []
+    for p in PERMS:
+        xi, yi, zi = p
+        vb = voo[xi]                       # (oo, m) or (T, oo, m)
+        tm = t2p[(zi, yi)]                 # ([Tz], [Ty], m, k)
+        w2 = jax.lax.dot_general(
+            tm, vb, (((tm.ndim - 2,), (vb.ndim - 1,)), ((), ())),
+            preferred_element_type=f32, precision=kprec)
+        # fused axes: [Tz] [Ty] k' [Tx] (i,j); slab (over i'): minor j'
+        if p == (0, 1, 2):     # slab (T_c,T_b,k',j'); i'->W axis2
+            out.append((w2, "W", 2, (1, 0, 3, 2)))
+        elif p == (0, 2, 1):   # slab (T_b,T_c,k',j'); i'->W axis2;
+            out.append((w2, "W", 2, (0, 1, 2, 3)))   # (b,c,j=k',k=j')
+        elif p == (1, 0, 2):   # slab (T_c,k',T_b,j'); i'->W axis3
+            out.append((w2, "W", 3, (2, 0, 3, 1)))   # (b,c,i=j',k=k')
+        elif p == (1, 2, 0):   # slab (T_c,k',T_b,j'); i'->W axis3
+            out.append((w2, "W", 3, (2, 0, 1, 3)))   # (b,c,i=k',k=j')
+        elif p == (2, 0, 1):   # slab (T_b,k',T_c,j'); i'->S axis3
+            out.append((w2, "S", 3, (0, 2, 3, 1)))   # (b,c,i=j',j=k')
+        else:                  # (2,1,0): slab (T_b,k',T_c,j'); i'->S ax3
+            out.append((w2, "S", 3, (0, 2, 1, 3)))   # (b,c,i=k',j=j')
+    return out
 
 
 def _expand_to(arr, names, tgt):
@@ -171,10 +173,16 @@ def _expand_to(arr, names, tgt):
     return jnp.transpose(out, tuple(cur.index(n) for n in tgt))
 
 
-def _v_row(o, T, f32, b, p, oov, t2p, t1v, fvov, A):
+def _v_row(o, T, f32, b, p, oov, t2p, t1r, fvor, t1c, fvoc,
+           t1a, fvoa, t1ac, fvoac):
     """Row-b (over canonical t_b) V-term of one perm:
     0.5 * ((i'x|j'y) t1[k',z] + t2[(y,x)][i',j'] fvo[z,k'])
-    returned in the (t_c, i, j, k) frame."""
+    returned in the (t_c, i, j, k) frame.
+
+    The z-side factors arrive in BOTH orientations — rows (.., 1, o) and
+    columns (.., o, 1) — because Mosaic cannot move a lane-resident
+    vector into sublanes in-register (the old fused kernel's t1c/fvoc
+    dual feed, same reason)."""
     xi, yi, zi = p
     ab = oov[(xi, yi)]
     tb = t2p[(yi, xi)]
@@ -194,35 +202,44 @@ def _v_row(o, T, f32, b, p, oov, t2p, t1v, fvov, A):
     tgt = ["t2"] + occ                   # (t_c, i, j, k)
     a4 = _expand_to(ab, ab_n, tgt)
     c4 = _expand_to(tb, tb_n, tgt)
-    # z-side factors, kept >= 2D throughout (Mosaic dislikes 1D): shape
-    # into the 4D frame with the occupied axis at canonical slot p[2]
-    if zi == 0:
-        zi32 = jnp.zeros((), A.dtype) if hasattr(A, "dtype") \
-            else jnp.int32(0)
-        t1z = jax.lax.dynamic_slice(t1v, (zi32, A, zi32), (1, 1, o))
-        fz = jax.lax.dynamic_slice(fvov, (zi32, A, zi32), (1, 1, o))
-        t1z = t1z.reshape(1, 1, 1, o)
-        fz = fz.reshape(1, 1, 1, o)
-    elif zi == 1:
-        t1z = jax.lax.index_in_dim(t1v[1], b, axis=0,
-                                   keepdims=True).reshape(1, 1, 1, o)
-        fz = jax.lax.index_in_dim(fvov[1], b, axis=0,
-                                  keepdims=True).reshape(1, 1, 1, o)
-    else:
-        t1z = t1v[2].reshape(T, 1, 1, o)
-        fz = fvov[2].reshape(T, 1, 1, o)
     kslot = 1 + p[2]                     # canonical slot of k' in tgt
-    if kslot != 3:
-        order = [0, 1, 2, 3]
-        order.insert(kslot, order.pop(3))
-        t1z = jnp.transpose(t1z, tuple(order))
-        fz = jnp.transpose(fz, tuple(order))
+
+    def zfac(rows, cols, arow, acol):
+        if kslot == 3:                   # k' minor: row orientation
+            if zi == 0:
+                return arow.reshape(1, 1, 1, o)          # (1, o)
+            if zi == 1:
+                r = jax.lax.index_in_dim(rows[1], b, axis=0,
+                                         keepdims=False)  # (1, o)
+                return r.reshape(1, 1, 1, o)
+            return rows[2].reshape(T, 1, 1, o)           # (T, 1, o)
+        # k' in sublanes: column orientation (o, 1)
+        if zi == 0:
+            base = acol                                   # (o, 1)
+        elif zi == 1:
+            base = jax.lax.index_in_dim(cols[1], b, axis=0,
+                                        keepdims=False)   # (o, 1)
+        else:
+            base = cols[2]                                # (T, o, 1)
+        if zi == 2:
+            v = base[:, :, :, None]                       # (T, o, 1, 1)
+            if kslot == 2:
+                v = jnp.transpose(v, (0, 2, 1, 3))        # (T, 1, o, 1)
+            return v
+        v = base[None, :, :, None] if kslot == 1 \
+            else base[None, None, :, :]                   # o at kslot
+        return v.reshape((1, o, 1, 1) if kslot == 1 else (1, 1, o, 1))
+
+    t1z = zfac(t1r, t1c, t1a, t1ac)
+    fz = zfac(fvor, fvoc, fvoa, fvoac)
     return 0.5 * (a4 * t1z + c4 * fz)
 
 
 def _combine_resident(o, T, act_mode, dtype, mode, refs):
     (t2_refs, ov_refs, vooo_refs, t2p_refs, oovv_refs, t1_ref, fvo_ref,
-     eijk_ref, eabc_ref, wgt_ref, actv_ref, actocc_ref, out_ref) = refs
+     t1c_ref, fvoc_ref, t1a_ref, fvoa_ref, t1ac_ref, fvoac_ref,
+     eijk_ref, eabc_ref, wgt_ref, actv_ref, actocc_ref, out_ref,
+     gI_scr, gJ_scr, gK_scr) = refs
     A = pl.program_id(0)
     f32 = dtype
     kprec = jax.lax.Precision.HIGHEST
@@ -236,46 +253,77 @@ def _combine_resident(o, T, act_mode, dtype, mode, refs):
     voo = [rd(vooo_refs[r]) for r in range(3)]
     t2p = {PAIRS9[i]: rd(t2p_refs[i]) for i in range(len(PAIRS9))}
     oov = {PAIRS9[i]: rd(oovv_refs[i]) for i in range(len(PAIRS9))}
-    t1v = t1_ref[...]
+    t1v = t1_ref[...]          # rows (3, T, 1, o)
     fvov = fvo_ref[...]
+    t1cv = t1c_ref[...]        # columns (3, T, o, 1)
+    fvocv = fvoc_ref[...]
+    t1a = t1a_ref[...]         # A-row (1, o)
+    fvoa = fvoa_ref[...]
+    t1ac = t1ac_ref[...]       # A-column (o, 1)
+    fvoac = fvoac_ref[...]
     eijkv = eijk_ref[...]
-    eabcv = eabc_ref[...]
+    eabcv = eabc_ref[...]          # (T, T, 1) — c in sublanes
     wgtv = wgt_ref[...]
     actvv = actv_ref[...] if act_mode is not None else None
     actoccv = actocc_ref[...] if act_mode is not None else None
 
-    # ---- W build: canonical accumulator (t_b, t_c, i, j, k)
-    accW = None
-    for w, tr in _w1_terms(o, T, mode, f32, t2s, ovs):
-        c = jnp.transpose(w, tr)
-        accW = c if accW is None else accW + c
-    for p in PERMS:
-        accW = accW - _w2_term(o, T, f32, kprec, p, voo, t2p)
+    # ---- W build: slab stores into three loop-leading scratch frames.
+    # Strided read-modify-write stores (acc[:, :, jj] += ...) and their
+    # zero inits blew up the remote Mosaic compile (SIGKILL); instead
+    # each (group, jj) slot is written EXACTLY ONCE as a pure
+    # leading-index store, with the group's terms summed in registers:
+    #   gI (o_i, b, c, j, k)  — terms whose extract loop is canonical i
+    #   gJ (o_j, b, c, i, k)  — canonical j
+    #   gK (o_k, b, c, i, j)  — canonical k
+    plans = [(w, acc_id, ax, tr, 1.0) for (w, acc_id, ax, tr)
+             in _w1_slab_plan(o, T, mode, f32, t2s, ovs)]
+    plans += [(w, acc_id, ax, tr, -1.0) for (w, acc_id, ax, tr)
+              in _w2_slab_plan(o, T, f32, kprec, voo, t2p)]
+    groups = {}
+    for w, acc_id, ax, tr, sign in plans:
+        groups.setdefault((acc_id, ax), []).append((w, tr, sign))
+    scr = {("W", 2): gI_scr, ("W", 3): gJ_scr, ("S", 3): gK_scr}
+    for jj in range(o):
+        for key, terms in groups.items():
+            tot = None
+            for w, tr, sign in terms:
+                slab = jax.lax.slice_in_dim(w, jj * o, (jj + 1) * o,
+                                            axis=w.ndim - 1)
+                slab = sign * jnp.transpose(slab, tr)
+                tot = slab if tot is None else tot + slab
+            scr[key][jj] = tot
 
     # ---- per-b-row epilogue
     eacc = jnp.zeros((o, o, o), f32)
     for b in range(T):
-        Wb = accW[b]                                  # (T_c, o, o, o)
+        Wb = (jnp.transpose(gI_scr[:, b], (1, 0, 2, 3))
+              + jnp.transpose(gJ_scr[:, b], (1, 2, 0, 3))
+              + jnp.transpose(gK_scr[:, b], (1, 2, 3, 0)))
         Vb = Wb
         for p in PERMS:
-            Vb = Vb + _v_row(o, T, f32, b, p, oov, t2p, t1v, fvov, A)
+            Vb = Vb + _v_row(o, T, f32, b, p, oov, t2p, t1v, fvov,
+                             t1cv, fvocv, t1a, fvoa, t1ac, fvoac)
         Vx = jnp.transpose(Vb, (0, 2, 3, 1))          # V[jki]
         Vy = jnp.transpose(Vb, (0, 3, 1, 2))          # V[kij]
         Zb = (4.0 * Vb + Vx + Vy
               - 2.0 * jnp.transpose(Vy, (0, 2, 1, 3))
               - 2.0 * jnp.transpose(Vx, (0, 2, 1, 3))
               - 2.0 * jnp.transpose(Vb, (0, 2, 1, 3)))
-        eb = jax.lax.index_in_dim(eabcv, b, axis=0, keepdims=True)  # (1,T)
-        denom = eijkv[None] - eb.reshape(T, 1, 1, 1)
+        # the (T,T,T,1) tables keep the c-axis in SUBLANES (minor is a
+        # dummy 1): row b slices to (T_c, 1) and expands with 1-dims only
+        # (a (T,)-lane vector cannot be cast to (T,1,1,1) on Mosaic)
+        eb = jax.lax.index_in_dim(eabcv, b, axis=0,
+                                  keepdims=False)[:, :, None, None]
+        denom = eijkv[None] - eb
         zd = Zb / denom
         if act_mode is not None:
             ab_ = jax.lax.index_in_dim(actvv, b, axis=0,
-                                       keepdims=True).reshape(T, 1, 1, 1)
+                                       keepdims=False)[:, :, None, None]
             act6 = ab_ * actoccv[None]
             zd = zd * ((1.0 - act6) if act_mode == "exclude_active"
                        else act6)
         wb = jax.lax.index_in_dim(wgtv, b, axis=0,
-                                  keepdims=True).reshape(T, 1, 1, 1)
+                                  keepdims=False)[:, :, None, None]
         eacc = eacc + jnp.sum((Wb * zd) * wb, axis=0)
 
     e = jnp.sum(eacc)
@@ -308,12 +356,15 @@ def _kernel_entry(o, T, act_mode, dtype, mode, gabc_unused, *rest):
     vooo_refs = take(3)
     t2p_refs = take(len(PAIRS9))
     oovv_refs = take(len(PAIRS9))
-    (t1_ref, fvo_ref, eijk_ref, eabc_ref, wgt_ref, actv_ref, actocc_ref,
-     out_ref) = take(8)
+    (t1_ref, fvo_ref, t1c_ref, fvoc_ref, t1a_ref, fvoa_ref, t1ac_ref,
+     fvoac_ref, eijk_ref, eabc_ref, wgt_ref, actv_ref, actocc_ref,
+     out_ref, gI_scr, gJ_scr, gK_scr) = take(17)
     _combine_resident(o, T, act_mode, dtype, mode,
                       (t2_refs, ov_refs, vooo_refs, t2p_refs, oovv_refs,
-                       t1_ref, fvo_ref, eijk_ref, eabc_ref, wgt_ref,
-                       actv_ref, actocc_ref, out_ref))
+                       t1_ref, fvo_ref, t1c_ref, fvoc_ref, t1a_ref,
+                       fvoa_ref, t1ac_ref, fvoac_ref, eijk_ref,
+                       eabc_ref, wgt_ref, actv_ref, actocc_ref, out_ref,
+                       gI_scr, gJ_scr, gK_scr))
 
 
 def tile_energy_resident(t2sl, ovbl, vooo_t, t2p, oovv_t, t1_t, fvo_t,
@@ -398,12 +449,30 @@ def tile_energy_resident(t2sl, ovbl, vooo_t, t2p, oovv_t, t1_t, fvo_t,
     if act3 is None:
         act3 = jnp.zeros((T, T, T), f32)
         actocc = jnp.zeros((o, o, o), f32)
-    args += [t1_t, fvo_t, eijk]
-    in_specs += [const((3, T, o)), const((3, T, o)), const((o, o, o))]
-    # A-indexed (T, T) planes of the (T, T, T) per-tile tables
-    plane = pl.BlockSpec((None, T, T), lambda A: (A, 0, 0),
+    # z-side factors in BOTH orientations (rows (..,1,o) / columns
+    # (..,o,1)) + A-indexed role-0 variants; block last-two dims equal
+    # the array dims (the Mosaic block divisibility rule), and the dual
+    # feed avoids in-register lane<->sublane moves (see _v_row)
+    t1row = t1_t[:, :, None, :]
+    fvorow = fvo_t[:, :, None, :]
+    t1col = t1_t[:, :, :, None]
+    fvocol = fvo_t[:, :, :, None]
+    rowa = pl.BlockSpec((None, 1, o), lambda A: (A, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cola = pl.BlockSpec((None, o, 1), lambda A: (A, 0, 0),
+                        memory_space=pltpu.VMEM)
+    args += [t1row, fvorow, t1col, fvocol,
+             t1_t[0][:, None, :], fvo_t[0][:, None, :],
+             t1_t[0][:, :, None], fvo_t[0][:, :, None], eijk]
+    in_specs += [const((3, T, 1, o)), const((3, T, 1, o)),
+                 const((3, T, o, 1)), const((3, T, o, 1)),
+                 rowa, rowa, cola, cola, const((o, o, o))]
+    # A-indexed (T, T, 1) planes of the (T, T, T, 1) per-tile tables —
+    # the trailing singleton keeps the (b, c) values in sublanes so the
+    # kernel's row slices broadcast without lane->sublane casts
+    plane = pl.BlockSpec((None, T, T, 1), lambda A: (A, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    args += [eabc3, wgt3, act3, actocc]
+    args += [eabc3[..., None], wgt3[..., None], act3[..., None], actocc]
     in_specs += [plane, plane, plane, const((o, o, o))]
 
     kernel = partial(_kernel_entry, o, T, act_mode, f32, mode, None)
@@ -416,6 +485,9 @@ def tile_energy_resident(t2sl, ovbl, vooo_t, t2p, oovv_t, t1_t, fvo_t,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), f32),
+        scratch_shapes=[pltpu.VMEM((o, T, T, o, o), f32),
+                        pltpu.VMEM((o, T, T, o, o), f32),
+                        pltpu.VMEM((o, T, T, o, o), f32)],
         interpret=interpret,
         **extra,
     )(*args)
