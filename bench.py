@@ -160,11 +160,18 @@ def run_parity(cfg):
 
 
 def run_triples(cfg):
-    """(T) throughput child: probe the grid-batched fused engine over a
-    chunk-size sweep, fall back to pure XLA; HEADLINE IS DOT-HIGH
-    PRECISION (bf16x3 W dots + fp32 kernel dots — the cheapest precision
-    docs/PARITY.md certifies production-adequate for a one-shot (T);
-    plain-bf16 'default' is recorded but never headlined)."""
+    """(T) throughput child: measure ONE engine configuration.
+
+    The round-4 lesson: sweeping engine configs inside one process lost
+    the whole (T) record — a failed remote Mosaic compile (chunked K=16
+    at bench shape) wedges the runtime, and every subsequent attempt in
+    the SAME process dies RESOURCE_EXHAUSTED, including the pure-XLA
+    fallback (which was un-wrapped, so the child emitted nothing).  Each
+    config now runs in its own child (the parent sweeps); a failure is
+    reported loudly as an error record instead of silently dropping the
+    key.  HEADLINE IS DOT-HIGH PRECISION (bf16x3 W dots + fp32 kernel
+    dots — the cheapest precision docs/PARITY.md certifies production-
+    adequate for a one-shot (T))."""
     import time as _time
     import jax
     import jax.numpy as jnp
@@ -185,55 +192,21 @@ def run_triples(cfg):
     fpt = (2 * 6 * tile**3 * nocc**3 * nvp + 2 * 6 * tile**3 * nocc**4
            + 2 * 6 * naux * nocc * tile * nvp * tile)
 
-    def probe(**kw):
-        e = M.kernel(t1, t2, eris, tile=tile, tiles_per_call=nprobe,
-                     **kw)                      # compile + warm
-        t0 = _time.perf_counter()
-        e = M.kernel(t1, t2, eris, tile=tile, tiles_per_call=nprobe,
-                     **kw)
-        dt = _time.perf_counter() - t0
-        return dict(tflops=round(fpt * nprobe / dt / 1e12, 2),
-                    probe_sec=round(dt, 3),
-                    energy_finite=bool(np.isfinite(e))), dt
-
-    tried = {}
-    best = None
-    for K in cfg.get("chunks", [16, 8, 4, 1]):
-        label = "fused:K%d" % K
-        try:
-            tried[label], dt = probe(engine="fused", chunk=K,
-                                     dot_precision="high")
-            if best is None or dt < tried[best]["probe_sec"]:
-                best = label
-        except Exception as ex:
-            tried[label] = dict(error=f"{type(ex).__name__}")
-    if best is None:
-        # Mosaic/compile regression in every Pallas path must not cost
-        # the round its (T) measurement — measure the pure-XLA engine
-        best = "xla"
-        tried[best], _ = probe(engine="xla", dot_precision="high")
-    bt = tried[best]
-    out = dict(tflops=bt["tflops"],
-               est_full_sec=round(bt["probe_sec"] / nprobe * ntiles, 1),
-               ntiles=ntiles, probe_sec=bt["probe_sec"],
-               energy_finite=bt["energy_finite"], engine=best,
-               precision="dot-high", engines_tried=tried)
-    best_kw = (dict(engine="xla") if best == "xla" else
-               dict(engine="fused", chunk=int(best.split("K")[1])))
-    # bracket the headline: plain-bf16 'default' (NOT production-
-    # adequate, PARITY.md) and true-fp32 'highest'
-    for label, pkw in (("precision_default", {}),
-                       ("precision_highest",
-                        dict(dot_precision="highest"))):
-        try:
-            r, _ = probe(**best_kw, **pkw)
-            out[label] = dict(tflops=r["tflops"],
-                              est_full_sec=round(
-                                  r["probe_sec"] / nprobe * ntiles, 1),
-                              energy_finite=r["energy_finite"])
-        except Exception as ex:
-            out[label] = dict(error=f"{type(ex).__name__}")
-    return out
+    kw = dict(engine=cfg.get("engine", "fused"),
+              chunk=int(cfg.get("chunk", 1)))
+    if cfg.get("dot_precision"):
+        kw["dot_precision"] = cfg["dot_precision"]
+    t0 = _time.perf_counter()
+    e = M.kernel(t1, t2, eris, tile=tile, tiles_per_call=nprobe,
+                 **kw)                      # compile + warm
+    warm = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    e = M.kernel(t1, t2, eris, tile=tile, tiles_per_call=nprobe, **kw)
+    dt = _time.perf_counter() - t0
+    return dict(tflops=round(fpt * nprobe / dt / 1e12, 2),
+                probe_sec=round(dt, 3), warm_sec=round(warm, 1),
+                est_full_sec=round(dt / nprobe * ntiles, 1),
+                ntiles=ntiles, energy_finite=bool(np.isfinite(e)))
 
 
 def _device_alive(timeout=45):
@@ -250,6 +223,14 @@ def _device_alive(timeout=45):
 
 def _run_child(kind, cfg, timeout):
     """Run one measurement kind in a subprocess; None on any failure."""
+    r = _run_child_loud(kind, cfg, timeout)
+    return None if (r is None or "error" in r) else r
+
+
+def _run_child_loud(kind, cfg, timeout):
+    """Like _run_child but failures come back as {'error': ..} records
+    (timeout, nonzero exit with a stderr tail) instead of silent None —
+    the round-4 (T) record was lost to a silently-dropped child."""
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), kind,
@@ -259,9 +240,16 @@ def _run_child(kind, cfg, timeout):
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT:"):
                 return json.loads(line[len("RESULT:"):])
-    except Exception:
-        pass
-    return None
+        tail = (proc.stderr or "").strip().splitlines()
+        # surface the exception line, not the jax traceback preamble
+        msg = next((ln for ln in reversed(tail)
+                    if "Error" in ln or "error" in ln), tail[-1] if tail
+                   else "no RESULT line")
+        return {"error": f"exit {proc.returncode}", "detail": msg[-200:]}
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout {timeout:.0f}s"}
+    except Exception as ex:
+        return {"error": f"{type(ex).__name__}"}
 
 
 def main():
@@ -339,24 +327,45 @@ def main():
            "naux": detail["naux"]}
     enriched = False
     # (T) throughput first (it is the round's perf claim), then parity.
-    if left() > 120:
-        t = _run_child("--child-t", {
+    # One engine config per child: a failed Mosaic compile wedges the
+    # whole process (round-4 postmortem), so isolation is load-bearing.
+    # Order = guaranteed-record first (fused chunk=1, measured good),
+    # then the resident engine (the round-4/5 headline kernel).
+    t_sweep = [("fused:K1", {"engine": "fused", "chunk": 1}),
+               ("resident", {"engine": "resident"}),
+               ("fused:K4", {"engine": "fused", "chunk": 4})]
+    tried = {}
+    best = None
+    for label, ekw in t_sweep:
+        if left() < 180:
+            tried[label] = {"error": "skipped (budget)"}
+            continue
+        t = _run_child_loud("--child-t", {
             "nocc": cfg["nocc"], "nvir": cfg["nvir"], "naux": cfg["naux"],
-            "tile": 8, "nprobe": 512}, max(120, min(600, left() - 60)))
-        if t:
-            detail["triples_fused"] = {
-                "tflops": round(t["tflops"], 2),
-                "est_full_T_sec": round(t["est_full_sec"], 1),
-                "ntiles_total": t["ntiles"],
-                "energy_finite": t["energy_finite"],
-                # 'fused2'/'fused' = a Pallas combine kernel ran; 'xla' =
-                # both failed to compile and this measures the fallback
-                "engine": t.get("engine", "unknown"),
-                "precision": t.get("precision", "default"),
-                "precision_highest": t.get("precision_highest"),
-                "engines_tried": t.get("engines_tried", {}),
-            }
-            enriched = True
+            "tile": 8, "nprobe": 512, "dot_precision": "high", **ekw},
+            max(180, min(580, left() - 60)))
+        tried[label] = t
+        if t and "error" not in t and (
+                best is None or t["tflops"] > tried[best]["tflops"]):
+            best = label
+    if best is not None:
+        bt = tried[best]
+        detail["triples_fused"] = {
+            "tflops": round(bt["tflops"], 2),
+            "est_full_T_sec": round(bt["est_full_sec"], 1),
+            "ntiles_total": bt["ntiles"],
+            "energy_finite": bt["energy_finite"],
+            "engine": best,
+            "precision": "dot-high",
+            "engines_tried": tried,
+        }
+        enriched = True
+    elif tried:
+        # every config failed: say so in the artifact instead of
+        # dropping the key (the round-4 evidence regression)
+        detail["triples_fused"] = {"error": "all engine configs failed",
+                                   "engines_tried": tried}
+        enriched = True
     # on-device parity: fp32 CCSD+Lambda on the chip, fp64 Lagrangian
     # certification on host (H2O/cc-pVTZ; SURVEY section 7 risk (c))
     if left() > 240:
