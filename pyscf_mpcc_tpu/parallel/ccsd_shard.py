@@ -185,6 +185,10 @@ def _ladder_local(tau_sym, Ldl, axis, N, ntile, nchunk):
                 return out, None
 
             S, _ = jax.lax.scan(body, S, jnp.asarray(pairs))
+            # serialize chunk pairs: without this XLA overlaps all
+            # nchunk^2/2 gathered factor pairs (see _update_local's
+            # ring-barrier note)
+            S = jax.lax.optimization_barrier(S)
     if padv:
         S = S[:, :, :nvir, :nvir]
     return S
@@ -306,12 +310,20 @@ def _update_local(t1, t2l, ovovl, oovvl, ovoo, oooo, Lov, Lvvl, fock,
     v1 = jnp.einsum("Llc,la->Lac", Lov_aux, t1)
     Rbuf = Lvvl - v1
     wvovo_df = jnp.zeros((nvir, nocc, nvir, oL), t2l.dtype)
+    # NOTE on the bar() calls threading every ring below: the unrolled
+    # ring steps are data-independent except through the ppermute chain,
+    # so without explicit ordering XLA schedules them concurrently and
+    # every step's shard-sized partials are live at once (measured
+    # 120 GiB/device of temps at w16 shape vs ~8 under the barriers —
+    # the same lesson as rccsd.update_amps' barrier-pinned K chain).
+    bar = jax.lax.optimization_barrier
     for s in range(N):
         blk = (d - s) % N
         wvovo_df += jnp.einsum(
             "Lki,Lac->akci", rows(x3me, 0, nauxL, blk), Rbuf)
         if s + 1 < N:
             Rbuf = jax.lax.ppermute(Rbuf, axis, perm)
+            wvovo_df, Rbuf = bar((wvovo_df, Rbuf))
     Wvovo += wvovo_df
     # ovoo.t1 pieces (replicated integrals, my i rows)
     ovoo_i = rows(ovoo, 3)                            # (o, v, o, oL)
@@ -342,6 +354,7 @@ def _update_local(t1, t2l, ovovl, oovvl, ovoo, oooo, Lov, Lvvl, fock,
                            jnp.int32(0), jnp.int32(0)))
         if s + 1 < N:
             buf = jax.lax.ppermute(buf, axis, perm)
+            Wvoov, Wvovo, tmp, buf = bar((Wvoov, Wvovo, tmp, buf))
     # Woooo = oooo-part + ovoo.t1 parts + (kc|ld) tau  (the explicit
     # (kc|ld) t1 t1 term of Eq. 42 and the (kc|ld) t2 term sum exactly
     # to the tau contraction)
@@ -368,19 +381,21 @@ def _update_local(t1, t2l, ovovl, oovvl, ovoo, oooo, Lov, Lvvl, fock,
                           tau_s)
         if s + 1 < N:
             buf = jax.lax.ppermute(buf, axis, perm)
+            K, r2d, buf = bar((K, r2d, buf))
 
-    # --- K light terms (all row-local) ----------------------------------
-    K += jnp.einsum("ac,ijcb->ijab", Lvv_i, t2l)
+    # --- K light terms (all row-local; barrier-chained like the
+    # unsharded update's K accumulation) ----------------------------------
+    K = bar(K + jnp.einsum("ac,ijcb->ijab", Lvv_i, t2l))
     # t2_vvov_t1 (DF): sum_L Lov[L,i,a] (Lvv[L,c,b] t1[j,c]) — gather the
     # small aux-local factor, contract locally (see the Wvoov DF note)
     x4 = jax.lax.all_gather(
         jnp.einsum("Lcb,jc->Ljb", Lvvl, t1), axis, tiled=True)
-    K += jnp.einsum("Lia,Ljb->ijab", rows(Lov, 1), x4)
+    K = bar(K + jnp.einsum("Lia,Ljb->ijab", rows(Lov, 1), x4))
     # -(ki|bc) t1[ka] t1[jc]: (ki|bc) = (ik|bc) — first axis local
-    K -= jnp.einsum("ikbc,ka,jc->ijab", oovvl, t1, t1)
+    K = bar(K - jnp.einsum("ikbc,ka,jc->ijab", oovvl, t1, t1))
     # -tmp2.t1: tmp2 = (ia|jk) + (kc|ai) t1[jc]; (kc|ai)=(ia|kc) local
-    K -= jnp.einsum("iajk,kb->ijab", rows(ovoo), t1)
-    K -= jnp.einsum("iakc,jc,kb->ijab", ovovl, t1, t1)
+    K = bar(K - jnp.einsum("iajk,kb->ijab", rows(ovoo), t1))
+    K = bar(K - jnp.einsum("iakc,jc,kb->ijab", ovovl, t1, t1))
 
     # --- ladder + quadratic dressing fix --------------------------------
     tau_sym = 0.5 * (taul + _t_exchange(taul, axis, N))
@@ -423,21 +438,33 @@ def update_amps_tiled(t1, t2, eris: RERIs, mesh, axis_name="dp",
            str(t2.dtype), ntile, nchunk, float(level_shift))
     fn = _UPDATE_CACHE.get(key)
     if fn is None:
-        pr = P(axis_name)
-        pn = P()
-        body = partial(_update_local, nocc=nocc, nvir=nvir, N=N,
-                       axis=axis_name, ntile=ntile, nchunk=nchunk,
-                       level_shift=level_shift)
-        import inspect
-        ck = ("check_vma" if "check_vma"
-              in inspect.signature(shard_map).parameters else "check_rep")
-        fn = jax.jit(shard_map(
-            body, mesh=mesh,
-            in_specs=(pn, pr, pr, pr, pn, pn, pn, pr, pn, pn),
-            out_specs=(pn, pr), **{ck: False}))
+        fn = build_update_fn(mesh, nocc, nvir, axis_name=axis_name,
+                             ntile=ntile, nchunk=nchunk,
+                             level_shift=level_shift)
         _UPDATE_CACHE[key] = fn
     return fn(t1, t2, eris.ovov, eris.oovv, eris.ovoo, eris.oooo,
               eris.Lov, eris.Lvv, eris.fock, eris.mo_energy)
+
+
+def build_update_fn(mesh, nocc, nvir, axis_name="dp", ntile=8, nchunk=2,
+                    level_shift=0.0):
+    """The jitted shard_map update as a callable of
+    (t1, t2, ovov, oovv, ovoo, oooo, Lov, Lvv, fock, mo_energy) global
+    arrays — exposed so tools can AOT-lower it at capacity shapes
+    (tools/w16_shard_probe.py) without data."""
+    N = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    pr = P(axis_name)
+    pn = P()
+    body = partial(_update_local, nocc=nocc, nvir=nvir, N=N,
+                   axis=axis_name, ntile=ntile, nchunk=nchunk,
+                   level_shift=level_shift)
+    import inspect
+    ck = ("check_vma" if "check_vma"
+          in inspect.signature(shard_map).parameters else "check_rep")
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(pn, pr, pr, pr, pn, pn, pn, pr, pn, pn),
+        out_specs=(pn, pr), **{ck: False}))
 
 
 def energy_tiled(t1, t2, eris: RERIs):
