@@ -39,7 +39,8 @@ _SCAN_CACHE = {}
 
 def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
            act_hole=None, act_particle=None, mode="exclude_active",
-           mesh=None, engine="auto", dot_precision=None, chunk=8):
+           mesh=None, engine="auto", dot_precision=None, chunk=8,
+           vfac=1.0):
     """E(T) from converged (t1, t2) and an RERIs container (DF or full).
 
     Requires Lov/Lvv when ovvv is absent; ovoo/ovov/fock always.
@@ -106,18 +107,33 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     ev_p = jnp.concatenate([ev, jnp.full((pad,), 1e6, dtype)]) if pad else ev
     t1p = padv(t1.astype(dtype), [1])
     fvo_p = padv(fvo, [0])
+    if vfac != 1.0:
+        # QCISD(T): the disconnected-singles V term enters with weight
+        # vfac=2 (reference lib/cc/ccsd_t.c:478 QCIsd_t_contract fac=2.0,
+        # JCP 94, 442).  t1p/fvo_p feed ONLY the V term in every engine,
+        # so scaling them here applies V = W + vfac*v uniformly.
+        t1p = t1p * jnp.asarray(vfac, dtype)
+        fvo_p = fvo_p * jnp.asarray(vfac, dtype)
     # TPU layout note: a trailing axis of size nocc (~32) pads 4x to the
     # 128-lane tile, so all persistent tensors keep a fused occupied-pair
     # axis (nocc^2 >= 128) or the virtual axis last.
     if engine == "auto":
-        engine = "fused" if jax.default_backend() == "tpu" else "xla"
-    if engine not in ("fused", "xla", "resident"):
+        engine = "flat" if jax.default_backend() == "tpu" else "xla"
+    if engine not in ("fused", "flat", "xla", "resident"):
         # the round-2/3 engine study variants (fused2/3/4) were retired
         # after the roofline settled the design (docs/PARITY.md "(T)
         # engine roofline"); 'fused' is the per-tile epilogue kernel,
-        # 'resident' (round 4) moves the W dots inside the kernel
+        # 'flat' (round 5) is fused with UNPADDED W streams (the 6D
+        # streams' (o,o) minor stores/moves 4.0x lane-padded; flat fuses
+        # the column tile dim into the minor — measured the production
+        # default), 'resident' (round 4) moves the W dots inside the
+        # kernel (does not Mosaic-compile at production shape on the
+        # remote-compile runtime; retained for study)
         raise ValueError(f"unknown (T) engine {engine!r}; use 'fused', "
-                         "'resident', 'xla' or 'auto'")
+                         "'flat', 'resident', 'xla' or 'auto'")
+    flat = engine == "flat"
+    if flat:
+        engine = "fused"
 
     # t2T[c, f, (j,k)] = t2[k, j, c, f]
     t2T = padv(t2.astype(dtype).transpose(2, 3, 1, 0), [0, 1])
@@ -135,7 +151,12 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             t2Ts = t2Ts.reshape(t2Ts.shape[0], t2Ts.shape[1], nocc * nocc)
         else:
             t2Ts = None
+        # stored with the (i, j) pair FUSED: the 4D (nvp, nvp, o, o)
+        # form lives 4.0x lane-padded in HBM at production occupancy
+        # (measured 2.74 GiB for a 702 MiB tensor); preps re-split the
+        # minor on their small per-tile slices
         oovv_T = padv(eris.ovov.astype(dtype).transpose(1, 3, 0, 2), [0, 1])
+        oovv_T = oovv_T.reshape(nvp, nvp, nocc * nocc)
         oovv_r = None
     else:
         # oovv[i, j, x, y] = (ix|jy): tile slices address the two minor axes
@@ -317,14 +338,16 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
       return tile_energy
 
-    def make_prep_fused(big):
+    def make_prep_fused(big, flat=False):
         """Per-tile XLA prep for the Pallas epilogue: six canonical-
         emission W dots (ops/triples_combine.W_PLAN) + the small per-tile
         slices, returned as one tuple.  Shared by the per-tile scan body
         (mesh path) and the grid-batched chunk path, where lax.scan
-        stacks these outputs with a leading chunk axis."""
+        stacks these outputs with a leading chunk axis.  flat=True emits
+        the W streams in the unpadded flat layout (emit_w_dot_flat)."""
         from pyscf_mpcc_tpu.ops.triples_combine import (
-            PERMS, W_PLAN, emit_w_dot)
+            PERMS, W_PLAN, emit_w_dot, emit_w_dot_flat)
+        emit = emit_w_dot_flat if flat else emit_w_dot
         t2T = big["t2T"]
         t2Ts = big["t2Ts"]
         vooo = big["vooo"]
@@ -364,9 +387,9 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             t2T_sl.update({("kj", r): jax.lax.dynamic_slice(
                 t2Ts, (s, zi32, zi32), (T, nvp, oo))
                 for r, s in enumerate(starts)})
-            w_list = tuple(emit_w_dot(p, ovb[(p[0], p[1])],
-                                      t2T_sl[(W_PLAN[p]["t2"], p[2])],
-                                      dtype, T, o, precision=prec)
+            w_list = tuple(emit(p, ovb[(p[0], p[1])],
+                                t2T_sl[(W_PLAN[p]["t2"], p[2])],
+                                dtype, T, o, precision=prec)
                            for p in PERMS)
             vooo_t = jnp.stack([jax.lax.dynamic_slice(
                 vooo, (s, zi32, zi32), (T, o, oo)).reshape(T, oo, o)
@@ -375,7 +398,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 t2T, (s1, s2, zi32), (T, T, oo)).reshape(T, T, o, o)
                 for s2 in starts]) for s1 in starts])
             oovv_t = jnp.stack([jnp.stack([jax.lax.dynamic_slice(
-                oovv_T, (s1, s2, zi32, zi32), (T, T, o, o))
+                oovv_T, (s1, s2, zi32), (T, T, oo)).reshape(T, T, o, o)
                 for s2 in starts]) for s1 in starts])
             t1_t = jnp.stack([jax.lax.dynamic_slice(
                 t1p, (zi32, s), (o, T)).T[:, None, :] for s in starts])
@@ -409,12 +432,12 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                        * act_occ[None, None, :])
         return eijk, actocc3
 
-    def make_tile_energy_fused(big, interpret=False):
+    def make_tile_energy_fused(big, interpret=False, flat=False):
         """Per-tile scan body (one pallas_call per tile): retained for
         the mesh-sharded path; the single-chip driver uses the
         grid-batched chunk form below (~6 ms/tile dispatch amortized)."""
         from pyscf_mpcc_tpu.ops.triples_combine import tile_energy_fused
-        prep = make_prep_fused(big)
+        prep = make_prep_fused(big, flat=flat)
         eijk, actocc3 = _fused_shared(big)
         has_act = big.get("act_occ") is not None
 
@@ -422,7 +445,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             out = prep(abc)
             (w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t, fvoc_t,
              gabc, evt) = out[:10]
-            kw = dict(interpret=interpret, kern_precision=kprec)
+            kw = dict(interpret=interpret, kern_precision=kprec,
+                      flat=flat)
             if has_act:
                 kw.update(actv=out[10], actocc=actocc3, act_mode=mode)
             e = tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t,
@@ -485,7 +509,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                 t2T, (starts[r1], starts[r2], zi32),
                 (T, T, oo)).reshape(T, T, o, o) for (r1, r2) in PAIRS9])
             oovv9 = jnp.stack([jax.lax.dynamic_slice(
-                oovv_T, (starts[r1], starts[r2], zi32, zi32), (T, T, o, o))
+                oovv_T, (starts[r1], starts[r2], zi32),
+                (T, T, o * o)).reshape(T, T, o, o)
                 for (r1, r2) in PAIRS9])
             t1_t = jnp.stack([jax.lax.dynamic_slice(
                 t1p, (zi32, s), (o, T)).T for s in starts])
@@ -537,7 +562,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
 
         return tile_energy
 
-    def make_chunk_energy_fused(big, interpret=False):
+    def make_chunk_energy_fused(big, interpret=False, flat=False):
         """Grid-batched chunk body: lax.scan stacks K tiles of prep
         outputs, then ONE pallas_call with grid (K, T, T) processes the
         whole chunk (tile_energy_fused_chunk) — the reference's
@@ -545,7 +570,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
         (lib/cc/ccsd_t.c:378), TPU-style."""
         from pyscf_mpcc_tpu.ops.triples_combine import (
             tile_energy_fused_chunk)
-        prep = make_prep_fused(big)
+        prep = make_prep_fused(big, flat=flat)
         eijk, actocc3 = _fused_shared(big)
         has_act = big.get("act_occ") is not None
 
@@ -554,7 +579,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                                       jnp.zeros((), jnp.int32), tK)
             (w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t, fvoc_t,
              gabc, evt) = stacked[:10]
-            kw = dict(interpret=interpret, kern_precision=kprec)
+            kw = dict(interpret=interpret, kern_precision=kprec,
+                      flat=flat)
             if has_act:
                 kw.update(actv=stacked[10], actocc=actocc3, act_mode=mode)
             return tile_energy_fused_chunk(
@@ -568,7 +594,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
         interp = jax.default_backend() != "tpu"
 
         def tile_fn(big):
-            return make_tile_energy_fused(big, interpret=interp)
+            return make_tile_energy_fused(big, interpret=interp,
+                                          flat=flat)
     elif engine == "resident":
         interp = jax.default_backend() != "tpu"
         if prec == jax.lax.Precision.HIGH:
@@ -633,7 +660,7 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
                                     **{ck: False}))
         return 2.0 * float(sharded(trips_p, big_arrays))
 
-    cache_key = (engine, T, o, nvp, str(dtype), str(acc_dtype), mode,
+    cache_key = (engine, flat, T, o, nvp, str(dtype), str(acc_dtype), mode,
                  act_hole is not None,
                  None if act_hole is None else (tuple(np.sort(act_hole)),
                                                 tuple(np.sort(act_particle))),
@@ -660,7 +687,8 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
         run = _SCAN_CACHE.get(key)
         if run is None:
             def _run(tr3, big):
-                ce = make_chunk_energy_fused(big, interpret=interp)
+                ce = make_chunk_energy_fused(big, interpret=interp,
+                                             flat=flat)
                 return jax.lax.scan(lambda c, tK: (c, ce(tK)),
                                     jnp.zeros((), jnp.int32), tr3)[1]
             run = jax.jit(_run)
@@ -672,9 +700,9 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
             m = min(mcall, M - p)
             ys = run(jax.lax.slice(trips3, (p, 0, 0), (p + m, K, 3)),
                      big_arrays)
-            flat = np.asarray(ys, dtype=np.float64).ravel()
+            evals = np.asarray(ys, dtype=np.float64).ravel()
             nvalid = max(0, min(ntrips, (p + m) * K) - p * K)
-            total += float(flat[:nvalid].sum())
+            total += float(evals[:nvalid].sum())
             p += m
         return 2.0 * total
 

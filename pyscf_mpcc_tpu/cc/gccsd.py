@@ -40,6 +40,11 @@ class GERIs:
         self.nso = int(fock.shape[0])
         self.mo_energy = np.diag(np.asarray(fock)).copy()
 
+    def block(self, key):
+        """SpinOrbERIs-compatible accessor (the NumPy oracles in
+        gccsd_slow/gccsd_t_slow consume either container)."""
+        return np.asarray(self.b[key])
+
 
 def make_eris_ghf(mf, frozen=0, dtype=None):
     """Spinor-MO antisymmetrized blocks from a converged GHF (or
@@ -88,10 +93,17 @@ def _denoms(fock, nocc):
     return d1, d2
 
 
-@partial(jax.jit, static_argnames=("nocc",))
-def _update(t1, t2, b, fock, nocc):
+@partial(jax.jit, static_argnames=("nocc", "variant"))
+def _update(t1, t2, b, fock, nocc, variant="ccsd"):
     """Fused Jacobi update — Stanton Eqs. (1)-(13), identical term
-    structure to the oracle gccsd_slow.update_amps (:132)."""
+    structure to the oracle gccsd_slow.update_amps (:132).
+
+    variant='qcisd' applies the QCI truncation (reference cc/qcisd.py:33,
+    oracle cc/qcisd_slow.py): every T1-nonlinear term is dropped — tau
+    collapses to t2, the Fae/Fmi/W intermediates keep only their t2
+    bodies, and the doubles see t1 only through the linear vvvo/ovoo
+    terms; Fme keeps its t1 term (the t1.t2 cross couplings survive)."""
+    qci = variant == "qcisd"
     f = fock
     fov = f[:nocc, nocc:]
     foo = f[:nocc, :nocc]
@@ -103,38 +115,49 @@ def _update(t1, t2, b, fock, nocc):
     ovvo, ovoo, vvvo = b["ovvo"], b["ovoo"], b["vvvo"]
     ein = jnp.einsum
 
-    tau_t = t2 + 0.5 * (ein("ia,jb->ijab", t1, t1)
-                        - ein("ib,ja->ijab", t1, t1))
-    tau = t2 + (ein("ia,jb->ijab", t1, t1) - ein("ib,ja->ijab", t1, t1))
+    if qci:
+        tau_t = tau = t2
+    else:
+        tau_t = t2 + 0.5 * (ein("ia,jb->ijab", t1, t1)
+                            - ein("ib,ja->ijab", t1, t1))
+        tau = t2 + (ein("ia,jb->ijab", t1, t1)
+                    - ein("ib,ja->ijab", t1, t1))
 
     Fae = fvv - jnp.diag(ev)
-    Fae = Fae - 0.5 * ein("me,ma->ae", fov, t1)
-    Fae = Fae + ein("mf,mafe->ae", t1, ovvv)
+    if not qci:
+        Fae = Fae - 0.5 * ein("me,ma->ae", fov, t1)
+        Fae = Fae + ein("mf,mafe->ae", t1, ovvv)
     Fae = Fae - 0.5 * ein("mnaf,mnef->ae", tau_t, oovv)
 
     Fmi = foo - jnp.diag(eo)
-    Fmi = Fmi + 0.5 * ein("ie,me->mi", t1, fov)
-    Fmi = Fmi + ein("ne,mnie->mi", t1, ooov)
+    if not qci:
+        Fmi = Fmi + 0.5 * ein("ie,me->mi", t1, fov)
+        Fmi = Fmi + ein("ne,mnie->mi", t1, ooov)
     Fmi = Fmi + 0.5 * ein("inef,mnef->mi", tau_t, oovv)
 
     Fme = fov + ein("nf,mnef->me", t1, oovv)
 
     Wmnij = oooo
-    tmp = ein("je,mnie->mnij", t1, ooov)
-    Wmnij = Wmnij + tmp - tmp.transpose(0, 1, 3, 2)
+    if not qci:
+        tmp = ein("je,mnie->mnij", t1, ooov)
+        Wmnij = Wmnij + tmp - tmp.transpose(0, 1, 3, 2)
     Wmnij = Wmnij + 0.25 * ein("ijef,mnef->mnij", tau, oovv)
 
     Wabef = vvvv
-    tmp = -ein("mb,maef->abef", t1, ovvv)
-    Wabef = Wabef - (tmp - tmp.transpose(1, 0, 2, 3))
+    if not qci:
+        tmp = -ein("mb,maef->abef", t1, ovvv)
+        Wabef = Wabef - (tmp - tmp.transpose(1, 0, 2, 3))
     Wabef = Wabef + 0.25 * ein("mnab,mnef->abef", tau, oovv)
 
     oovo = -ooov.transpose(0, 1, 3, 2)
     Wmbej = ovvo
-    Wmbej = Wmbej + ein("jf,mbef->mbej", t1, ovvv)
-    Wmbej = Wmbej - ein("nb,mnej->mbej", t1, oovo)
-    Wmbej = Wmbej - ein("jnfb,mnef->mbej",
-                        0.5 * t2 + ein("jf,nb->jnfb", t1, t1), oovv)
+    if not qci:
+        Wmbej = Wmbej + ein("jf,mbef->mbej", t1, ovvv)
+        Wmbej = Wmbej - ein("nb,mnej->mbej", t1, oovo)
+        Wmbej = Wmbej - ein("jnfb,mnef->mbej",
+                            0.5 * t2 + ein("jf,nb->jnfb", t1, t1), oovv)
+    else:
+        Wmbej = Wmbej - 0.5 * ein("jnfb,mnef->mbej", t2, oovv)
 
     t1new = fov
     t1new = t1new + ein("ie,ae->ia", t1, Fae)
@@ -146,15 +169,16 @@ def _update(t1, t2, b, fock, nocc):
 
     t2new = oovv
     tmp = ein("ijae,be->ijab", t2,
-              Fae - 0.5 * ein("mb,me->be", t1, Fme))
+              Fae if qci else Fae - 0.5 * ein("mb,me->be", t1, Fme))
     t2new = t2new + tmp - tmp.transpose(0, 1, 3, 2)
     tmp = ein("imab,mj->ijab", t2,
-              Fmi + 0.5 * ein("je,me->mj", t1, Fme))
+              Fmi if qci else Fmi + 0.5 * ein("je,me->mj", t1, Fme))
     t2new = t2new - (tmp - tmp.transpose(1, 0, 2, 3))
     t2new = t2new + 0.5 * ein("mnab,mnij->ijab", tau, Wmnij)
     t2new = t2new + 0.5 * ein("ijef,abef->ijab", tau, Wabef)
-    tmp = (ein("imae,mbej->ijab", t2, Wmbej)
-           - ein("ie,ma,mbej->ijab", t1, t1, ovvo))
+    tmp = ein("imae,mbej->ijab", t2, Wmbej)
+    if not qci:
+        tmp = tmp - ein("ie,ma,mbej->ijab", t1, t1, ovvo)
     tmp = tmp - tmp.transpose(0, 1, 3, 2)
     t2new = t2new + tmp - tmp.transpose(1, 0, 2, 3)
     tmp = ein("ie,abej->ijab", t1, vvvo)
@@ -166,18 +190,20 @@ def _update(t1, t2, b, fock, nocc):
     return t1new / d1, t2new / d2
 
 
-@partial(jax.jit, static_argnames=("nocc",))
-def _energy(t1, t2, oovv, fock, nocc):
+@partial(jax.jit, static_argnames=("nocc", "variant"))
+def _energy(t1, t2, oovv, fock, nocc, variant="ccsd"):
     fov = fock[:nocc, nocc:]
     e = jnp.einsum("ia,ia->", fov, t1)
     e = e + 0.25 * jnp.einsum("ijab,ijab->", oovv, t2)
-    e = e + 0.5 * jnp.einsum("ia,jb,ijab->", t1, t1, oovv)
+    if variant != "qcisd":      # QCI energy carries no t1^2 term
+        e = e + 0.5 * jnp.einsum("ia,jb,ijab->", t1, t1, oovv)
     return e
 
 
-def energy(t1, t2, eris):
+def energy(t1, t2, eris, variant="ccsd"):
     return float(_energy(jnp.asarray(t1), jnp.asarray(t2),
-                         eris.b["oovv"], eris.fock, eris.nocc))
+                         eris.b["oovv"], eris.fock, eris.nocc,
+                         variant=variant))
 
 
 def init_amps(eris):
@@ -189,19 +215,20 @@ def init_amps(eris):
 
 
 def kernel(eris, max_cycle=100, conv_tol=1e-9, conv_tol_normt=1e-7,
-           diis_space=6, verbose=0, t1=None, t2=None):
+           diis_space=6, verbose=0, t1=None, t2=None, variant="ccsd"):
     log = lg.Logger(verbose=verbose)
     emp2, t1_0, t2_0 = init_amps(eris)
     t1 = t1_0 if t1 is None else jnp.asarray(t1)
     t2 = t2_0 if t2 is None else jnp.asarray(t2)
-    log.info("GCCSD MP2 init E_corr = %.14f", emp2)
+    log.info("G%s MP2 init E_corr = %.14f", variant.upper(), emp2)
     nocc, nvir = t1.shape
     diis = DIIS(space=diis_space)
-    e_last = energy(t1, t2, eris)
+    e_last = energy(t1, t2, eris, variant=variant)
     converged = False
     e = e_last
     for it in range(max_cycle):
-        t1new, t2new = _update(t1, t2, eris.b, eris.fock, eris.nocc)
+        t1new, t2new = _update(t1, t2, eris.b, eris.fock, eris.nocc,
+                               variant=variant)
         normt = float(jnp.linalg.norm(t1new - t1)
                       + jnp.linalg.norm(t2new - t2))
         vec = np.concatenate([np.asarray(t1new).ravel(),
@@ -209,7 +236,7 @@ def kernel(eris, max_cycle=100, conv_tol=1e-9, conv_tol_normt=1e-7,
         vec = diis.update(vec)
         t1 = jnp.asarray(vec[: nocc * nvir].reshape(nocc, nvir))
         t2 = jnp.asarray(vec[nocc * nvir:].reshape(t2new.shape))
-        e = energy(t1, t2, eris)
+        e = energy(t1, t2, eris, variant=variant)
         log.info("cycle %2d  E_corr(GCCSD) = %.14f  dE = %9.3e  "
                  "|dt| = %9.3e", it, e, e - e_last, normt)
         if abs(e - e_last) < conv_tol and normt < conv_tol_normt:

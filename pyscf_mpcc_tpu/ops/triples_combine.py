@@ -75,6 +75,48 @@ def _w_cell(p, blk, c):
     return blk[c]                       # t2_first: (T, P1, P2, i)
 
 
+# --------------------------------------------------------------------------
+# FLAT stream layout: the 6D canonical-emission W arrays have minor dims
+# (o, o) = (32, 32) at production occupancy — Mosaic's fp32 (8, 128)
+# tiling stores AND streams them 4.0x lane-padded (measured: the K=8
+# chunk engine allocates 2.00 GiB per 512 MiB stream, and the whole
+# fused engine's ~5.8 ms/tile floor is this padded traffic).  The flat
+# layout fuses the role-2 (column) tile dim with the canonical-k
+# occupied axis into the minor: (sel0, sel1, i, j, T*o) — sublane 32,
+# lane 256, ZERO padding.  Emission: the same dots, one XLA transpose
+# (full-bandwidth, unlike Mosaic's strided DMA), a free reshape.  The
+# kernel's cell extraction becomes a STATIC lane slice, and the XLA
+# transpose absorbs every occupied-axis swap — no in-kernel transposes
+# remain for any perm.
+#
+# FLAT_PLAN[p] = (transpose of the 6D emission, grid roles of the two
+# leading dims after it).  Derivation per perm: source occupied d lands
+# at canonical slot p[d]; the pair layout ('jk'/'kj' per W_PLAN) fixes
+# which pair member is canonical k; the transpose orders the axes as
+# (sel0, sel1, canonical-i, canonical-j, role2-tile, canonical-k).
+FLAT_PLAN = {
+    (0, 1, 2): ((0, 1, 2, 4, 3, 5), ("A", "B")),
+    (0, 2, 1): ((0, 3, 2, 4, 1, 5), ("A", "B")),
+    (1, 0, 2): ((0, 1, 4, 2, 3, 5), ("B", "A")),
+    (1, 2, 0): ((0, 3, 4, 2, 1, 5), ("B", "A")),
+    (2, 0, 1): ((0, 2, 3, 4, 1, 5), ("B", "A")),
+    (2, 1, 0): ((0, 2, 3, 4, 1, 5), ("A", "B")),
+}
+
+
+def emit_w_dot_flat(p, ovb, t2op, dtype, T, o, precision=None):
+    """Perm-p W1 dot emitted in the flat layout (sel0, sel1, i, j, T*o)."""
+    w = emit_w_dot(p, ovb, t2op, dtype, T, o, precision=precision)
+    w = jnp.transpose(w, FLAT_PLAN[p][0])
+    return w.reshape(w.shape[0], w.shape[1], o, o, T * o)
+
+
+def _w_cell_flat(blk, c, o):
+    """Canonical (o,o,o) cell from a flat W block (o, o, T*o): a static
+    32-lane slice — no transposes (the emission transpose did them)."""
+    return jax.lax.slice_in_dim(blk, c * o, (c + 1) * o, axis=2)
+
+
 def _debug_skip():
     """Timing-diagnostic only: TRIPLES_DEBUG_SKIP=w2,vterm,zperm,w1read
     disables kernel sections so their cost can be measured additively.
@@ -84,7 +126,8 @@ def _debug_skip():
     return frozenset(t for t in v.split(",") if t)
 
 
-def _combine_kernel(o, T, act_mode, dtype, kprec, refs, batched=False):
+def _combine_kernel(o, T, act_mode, dtype, kprec, refs, batched=False,
+                    flat=False):
     """Column kernel: one invocation per (A, B) pair processes all T
     C-cells (amortizes per-grid-cell dispatch, measured 2.3x on v5e vs
     the cell-grid variant at (H2O)8 scale).
@@ -140,10 +183,13 @@ def _combine_kernel(o, T, act_mode, dtype, kprec, refs, batched=False):
         return vals[r][c] if r == 2 else vals[r]
 
     for c in range(T):
-        # ---- W1: canonical up to a non-minor (1,0,2) swap
+        # ---- W1: canonical up to a non-minor (1,0,2) swap (6D mode);
+        # in flat mode every cell is a static lane slice, already
+        # canonical for all six perms
         accW = jnp.zeros((o, o, o), dtype)
         for pi, p in enumerate(PERMS):
-            accW = accW + _w_cell(p, wv[pi], c)
+            accW = accW + (_w_cell_flat(wv[pi], c, o) if flat
+                           else _w_cell(p, wv[pi], c))
             if "w1read" in skip:
                 break
         # ---- W2 (vooo . t2) and the V term in canonical orientation
@@ -254,7 +300,8 @@ def _combine_kernel(o, T, act_mode, dtype, kprec, refs, batched=False):
             out_ref[0, 0] = out_ref[0, 0] + etot
 
 
-def _kernel_entry(o, T, act_mode, dtype, kprec, gabc, evt, actv, *rest):
+def _kernel_entry(o, T, act_mode, dtype, kprec, flat, gabc, evt, actv,
+                  *rest):
     w = rest[0:6]
     vooo = rest[6:9]
     t2p = rest[9:15]
@@ -266,7 +313,7 @@ def _kernel_entry(o, T, act_mode, dtype, kprec, gabc, evt, actv, *rest):
     eijk, actocc, out = rest[33], rest[34], rest[35]
     _combine_kernel(o, T, act_mode, dtype, kprec,
                     (gabc, evt, actv, w, vooo, t2p, oovv, t1, fvo, t1c,
-                     fvoc, eijk, actocc, out))
+                     fvoc, eijk, actocc, out), flat=flat)
 
 
 def emit_w_dot(p, ovb, t2op, dtype, T, o, precision=None):
@@ -297,6 +344,25 @@ def _gid(role, A, B):
     return (A, B)[role] if role != 2 else 0
 
 
+def _wspec_flat(p, o, T):
+    """BlockSpec for a flat stream (sel0, sel1, i, j, T*o)."""
+    r0, r1 = FLAT_PLAN[p][1]
+    return pl.BlockSpec(
+        (None, None, o, o, T * o),
+        lambda A, B, r0=r0, r1=r1: (A if r0 == "A" else B,
+                                    A if r1 == "A" else B, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
+def _wspec_flat_chunk(p, o, T):
+    r0, r1 = FLAT_PLAN[p][1]
+    return pl.BlockSpec(
+        (None, None, None, o, o, T * o),
+        lambda k, A, B, r0=r0, r1=r1: (k, A if r0 == "A" else B,
+                                       A if r1 == "A" else B, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+
 def _wspec(p, o, T):
     xi, yi, zi = p
     if W_PLAN[p]["order"] == "ov_first":
@@ -317,10 +383,12 @@ def _wspec(p, o, T):
 
 def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
                       fvoc_t, eijk, gabc, evt, actv=None, actocc=None,
-                      act_mode=None, interpret=False, kern_precision=None):
+                      act_mode=None, interpret=False, kern_precision=None,
+                      flat=False):
     """Tile energy from the six dot outputs + small per-tile slices.
 
-    w_list:  6 arrays from emit_w_dot (canonical-emission layouts)
+    w_list:  6 arrays from emit_w_dot (canonical-emission layouts), or
+             from emit_w_dot_flat when flat=True (unpadded streams)
     vooo_t:  (3, T, o*o, o)     [(i,j), m] blocks at the three tile starts
     t2p:     (3, 3, T, T, o, o) t2 pair blocks [m/j, k] for every role pair
     oovv_t:  (3, 3, T, T, o, o) (ix|jy) blocks
@@ -356,7 +424,8 @@ def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
         memory_space=pltpu.VMEM) for r in range(3)]
 
     in_specs = ([smem, smem, smem]
-                + [_wspec(p, o, T) for p in PERMS]
+                + [(_wspec_flat(p, o, T) if flat else _wspec(p, o, T))
+                   for p in PERMS]
                 + vooo_specs + pair_specs + pair_specs
                 + occ_specs + occ_specs + occc_specs + occc_specs
                 + [full((o, o, o)), full((o, o, o))])
@@ -364,7 +433,8 @@ def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
         actv = jnp.zeros((3, T), dtype)
         actocc = jnp.zeros((o, o, o), dtype)
 
-    kernel = partial(_kernel_entry, o, T, act_mode, dtype, kern_precision)
+    kernel = partial(_kernel_entry, o, T, act_mode, dtype, kern_precision,
+                     flat)
     extra = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))
@@ -401,8 +471,8 @@ def tile_energy_fused(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t, t1c_t,
 # batched=True).  Reference analog: lib/cc/ccsd_t.c:378 runs ONE OpenMP
 # region over all abc jobs for exactly the same amortization.
 
-def _kernel_entry_chunk(o, T, act_mode, dtype, kprec, gabc, evt, actv,
-                        *rest):
+def _kernel_entry_chunk(o, T, act_mode, dtype, kprec, flat, gabc, evt,
+                        actv, *rest):
     w = rest[0:6]
     vooo = rest[6:9]
     t2p = rest[9:15]
@@ -414,7 +484,7 @@ def _kernel_entry_chunk(o, T, act_mode, dtype, kprec, gabc, evt, actv,
     eijk, actocc, out = rest[33], rest[34], rest[35]
     _combine_kernel(o, T, act_mode, dtype, kprec,
                     (gabc, evt, actv, w, vooo, t2p, oovv, t1, fvo, t1c,
-                     fvoc, eijk, actocc, out), batched=True)
+                     fvoc, eijk, actocc, out), batched=True, flat=flat)
 
 
 def _wspec_chunk(p, o, T):
@@ -438,7 +508,7 @@ def _wspec_chunk(p, o, T):
 def tile_energy_fused_chunk(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t,
                             t1c_t, fvoc_t, eijk, gabc, evt, actv=None,
                             actocc=None, act_mode=None, interpret=False,
-                            kern_precision=None):
+                            kern_precision=None, flat=False):
     """Per-tile energies (K,) for a stacked chunk of K tiles.
 
     Arguments are those of tile_energy_fused with a leading K axis on
@@ -474,7 +544,8 @@ def tile_energy_fused_chunk(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t,
         memory_space=pltpu.VMEM) for r in range(3)]
 
     in_specs = ([smem, smem, smem]
-                + [_wspec_chunk(p, o, T) for p in PERMS]
+                + [(_wspec_flat_chunk(p, o, T) if flat
+                    else _wspec_chunk(p, o, T)) for p in PERMS]
                 + vooo_specs + pair_specs + pair_specs
                 + occ_specs + occ_specs + occc_specs + occc_specs
                 + [full((o, o, o)), full((o, o, o))])
@@ -483,7 +554,7 @@ def tile_energy_fused_chunk(w_list, vooo_t, t2p, oovv_t, t1_t, fvo_t,
         actocc = jnp.zeros((o, o, o), dtype)
 
     kernel = partial(_kernel_entry_chunk, o, T, act_mode, dtype,
-                     kern_precision)
+                     kern_precision, flat)
     extra = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))

@@ -79,3 +79,54 @@ def test_qcisd_t_consistency():
     e_g = float(gccsd_t_slow.kernel(jnp.asarray(t1g), jnp.asarray(t2g),
                                     so, v_fac=2.0))
     assert abs(e_g - e_r) < 1e-9
+
+
+def test_qcisd_device_engine_matches_slow():
+    """Device spin-orbital QCISD (gccsd variant='qcisd') vs the NumPy
+    oracle on the same molecule (different spinor orderings — the energy
+    is invariant)."""
+    from pyscf_mpcc_tpu.cc import gccsd, qcisd
+    from pyscf_mpcc_tpu.testutil import h2o_ccpvdz
+    from types import SimpleNamespace
+
+    d = h2o_ccpvdz()
+    mol = gto.M(atom=[[8, (0., 0., 0.)], [1, (0., -0.757, 0.587)],
+                      [1, (0., 0.757, 0.587)]], basis="cc-pvdz")
+    mf = SimpleNamespace(
+        mol=mol, mo_coeff=d["mo_coeff"],
+        get_fock=lambda *a: d["fock_ao"],
+        make_rdm1=lambda *a: None, e_tot=float(d["e_tot"]))
+    er_so = gccsd_slow.build_eris(d["eri_ao"], d["mo_coeff"],
+                                  d["mo_coeff"],
+                                  (d["fock_ao"], d["fock_ao"]), (5, 5))
+    e_slow, _, _, conv_s = qcisd_slow.kernel(er_so, conv_tol=1e-10,
+                                             conv_tol_normt=1e-8)
+    assert conv_s
+    q = qcisd.QCISD(mf).run()
+    assert q.converged
+    np.testing.assert_allclose(q.e_corr, e_slow, rtol=0, atol=1e-9)
+
+
+def test_qcisd_t_device_matches_slow():
+    """QCISD(T) through the PRODUCTION restricted tile engine (vfac=2 on
+    the mapped closed-shell amplitudes) vs the spin-orbital slow tier."""
+    from pyscf_mpcc_tpu.cc import gccsd_t_slow, qcisd
+    from pyscf_mpcc_tpu.testutil import h2o_ccpvdz
+    from types import SimpleNamespace
+
+    d = h2o_ccpvdz()
+    mol = gto.M(atom=[[8, (0., 0., 0.)], [1, (0., -0.757, 0.587)],
+                      [1, (0., 0.757, 0.587)]], basis="cc-pvdz")
+    mf = SimpleNamespace(
+        mol=mol, mo_coeff=d["mo_coeff"],
+        get_fock=lambda *a: d["fock_ao"],
+        make_rdm1=lambda *a: None, e_tot=float(d["e_tot"]))
+    q = qcisd.QCISD(mf).run()
+    assert q.converged
+    et_dev = q.ccsd_t(tile=5)
+    # oracle: spin-orbital (T) with v_fac=2 on the SAME amplitudes
+    et_slow = float(gccsd_t_slow.kernel(np.asarray(q.t1),
+                                        np.asarray(q.t2), q._geris,
+                                        v_fac=2.0))
+    np.testing.assert_allclose(et_dev, et_slow, rtol=0, atol=1e-10)
+    assert abs(et_dev) > 1e-6  # non-trivial correction

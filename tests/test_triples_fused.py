@@ -161,3 +161,49 @@ def test_retired_engines_rejected():
     for name in ("fused2", "fused3", "fused4"):
         with pytest.raises(ValueError):
             ccsd_t.kernel(t1, t2, eris, tile=3, engine=name)
+
+
+# ---------------------------------------------------------------- flat
+# round-5 engine: unpadded W streams (the 6D forms store/stream 4.0x
+# lane-padded at production occupancy); emission transposes replace all
+# in-kernel occupied swaps
+
+def test_flat_engine_matches_xla_engine():
+    t1, t2, eris = _rand_problem()
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_flat = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="flat",
+                                 chunk=1))
+    assert abs(e_xla) > 1e-8
+    np.testing.assert_allclose(e_flat, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_flat_chunked_matches_xla_engine():
+    t1, t2, eris = _rand_problem(seed=13)
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla"))
+    e_flat = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="flat",
+                                 chunk=4))
+    np.testing.assert_allclose(e_flat, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_flat_engine_active_mask_matches_xla():
+    t1, t2, eris = _rand_problem(seed=11)
+    kw = dict(act_hole=[0, 2], act_particle=[1, 3, 4], mode="only_active")
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="xla", **kw))
+    e_flat = float(ccsd_t.kernel(t1, t2, eris, tile=3, engine="flat",
+                                 chunk=2, **kw))
+    np.testing.assert_allclose(e_flat, e_xla, rtol=1e-10, atol=1e-12)
+
+
+def test_flat_engine_df_mesh_matches_xla():
+    import __graft_entry__ as ge
+    from pyscf_mpcc_tpu.parallel import make_mesh
+    eris = ge._synthetic_eris(nocc=6, nvir=10, naux=24, dtype=jnp.float64,
+                              build_ovvv=False)
+    rng = np.random.default_rng(5)
+    t1 = jnp.asarray(rng.standard_normal((6, 10)) * 0.05)
+    t2 = rng.standard_normal((6, 6, 10, 10)) * 0.05
+    t2 = jnp.asarray(t2 + t2.transpose(1, 0, 3, 2))
+    e_xla = float(ccsd_t.kernel(t1, t2, eris, tile=4, engine="xla"))
+    e_mesh = float(ccsd_t.kernel(t1, t2, eris, tile=4, engine="flat",
+                                 mesh=make_mesh(8)))
+    np.testing.assert_allclose(e_mesh, e_xla, rtol=1e-10, atol=1e-12)
