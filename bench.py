@@ -331,10 +331,20 @@ def main():
     # whole process (round-4 postmortem), so isolation is load-bearing.
     # Order = guaranteed-record first (fused chunk=1, measured good),
     # then the resident engine (the round-4/5 headline kernel).
+    # Round-5 hardware sweep already measured: fused:K1 9.91 TFLOP/s,
+    # fused:K4 7.36, flat:K1 6.37, flat:K8 6.22 (all dot-high); resident
+    # never finishes the remote Mosaic compile (>1100 s) — probing it
+    # here would burn 580 s of driver budget for a guaranteed timeout
+    # record, so it is recorded as a static finding instead.
     t_sweep = [("fused:K1", {"engine": "fused", "chunk": 1}),
-               ("resident", {"engine": "resident"}),
-               ("fused:K4", {"engine": "fused", "chunk": 4})]
-    tried = {}
+               ("fused:K1:default-prec", {"engine": "fused", "chunk": 1,
+                                          "dot_precision": None})]
+    tried = {"resident": {"error": "not probed: remote Mosaic compile "
+                          "exceeds 1100 s at bench shape (round-5 "
+                          "measurement); engine retained for study"},
+             "flat": {"note": "measured round 5: 6.37 TFLOP/s K1 / "
+                      "6.22 K8 dot-high — slower than fused (in-kernel "
+                      "lane slices); not re-probed"}}
     best = None
     for label, ekw in t_sweep:
         if left() < 180:
@@ -345,7 +355,10 @@ def main():
             "tile": 8, "nprobe": 512, "dot_precision": "high", **ekw},
             max(180, min(580, left() - 60)))
         tried[label] = t
-        if t and "error" not in t and (
+        # headline stays the certified dot-high tier; the default-
+        # precision probe is evidence (round-3 comparability), not a
+        # headline candidate
+        if t and "error" not in t and "default-prec" not in label and (
                 best is None or t["tflops"] > tried[best]["tflops"]):
             best = label
     if best is not None:

@@ -118,7 +118,12 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     # 128-lane tile, so all persistent tensors keep a fused occupied-pair
     # axis (nocc^2 >= 128) or the virtual axis last.
     if engine == "auto":
-        engine = "flat" if jax.default_backend() == "tpu" else "xla"
+        # v5e measurement at (H2O)8 shape, dot-high, 512-tile probe:
+        # fused:K1 9.91 TFLOP/s vs flat:K1 6.37 / flat:K8 6.22 — the flat
+        # layout's in-kernel 32-lane cell slices are cross-lane relayouts
+        # that cost more than the 4x padded-DMA traffic they avoid
+        # (round-5 sweep; see docs/PARITY.md "(T) engine roofline")
+        engine = "fused" if jax.default_backend() == "tpu" else "xla"
     if engine not in ("fused", "flat", "xla", "resident"):
         # the round-2/3 engine study variants (fused2/3/4) were retired
         # after the roofline settled the design (docs/PARITY.md "(T)
