@@ -25,12 +25,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def our_integrals(atom, basis, unit="angstrom"):
+def our_integrals(atom, basis, unit="angstrom", spin=0):
     """(mymol, ovlp, hcore, eri_chemists_s1) from our engine, fp64."""
     from pyscf_mpcc_tpu import gto as mygto
     from pyscf_mpcc_tpu.gto import intor
 
-    mymol = mygto.M(atom=atom, basis=basis, unit=unit)
+    mymol = mygto.M(atom=atom, basis=basis, unit=unit, spin=spin)
     s, t = (np.asarray(x) for x in intor.intor_ovlp_kin(mymol))
     v = np.asarray(intor.intor_nuc(mymol))
     eri = np.asarray(intor.intor_eri(mymol))
@@ -38,12 +38,13 @@ def our_integrals(atom, basis, unit="angstrom"):
 
 
 def reference_mf(atom, basis, unit="angstrom", kind="RHF", conv_tol=1e-12,
-                 verbose=0):
+                 verbose=0, spin=0):
     """A converged reference scf object running on OUR integrals."""
     from pyscf import gto, scf, ao2mo
 
-    mymol, s, hcore, eri = our_integrals(atom, basis, unit)
-    mol = gto.M(atom=atom, basis=basis, unit=unit, verbose=verbose)
+    mymol, s, hcore, eri = our_integrals(atom, basis, unit, spin=spin)
+    mol = gto.M(atom=atom, basis=basis, unit=unit, verbose=verbose,
+                spin=spin)
     mol.incore_anyway = True
     assert mol.nao_nr() == s.shape[0], (mol.nao_nr(), s.shape)
     mf = {"RHF": scf.RHF, "UHF": scf.UHF, "ROHF": scf.ROHF,
