@@ -396,7 +396,7 @@ def update_amps(t1, t2, eris: RERIs, level_shift=0.0, ntile=1,
 
 
 def residual_segments(eris: RERIs, ntile=1, variant="ccsd",
-                      split_rings=True):
+                      split_rings=True, ladder=True):
     """The amplitude residual R(t) = update_raw(t) - t*D, decomposed into
     independent pieces for the SEGMENTED Lambda vjp.
 
@@ -573,11 +573,17 @@ def residual_segments(eris: RERIs, ntile=1, variant="ccsd",
             segs += [(seg_ring_voov, "k"), (seg_ring_vovo, "k")]
         else:
             segs += [(seg_rings, "k")]
-    segs += [(seg_oooo, "r2"), (seg_ladder, "r2")]
+    segs += [(seg_oooo, "r2")]
+    if ladder:
+        # ladder=False callers (the Ozaki-offloaded fp64 certification,
+        # lambda_ad.lagrangian_energy ladder_backend='ozaki') evaluate
+        # <l2, seg_ladder> on the int8 MXU instead (ops/ozaki.py)
+        segs += [(seg_ladder, "r2")]
     return segs
 
 
-def residual_from_segments(t1, t2, eris: RERIs, ntile=1, variant="ccsd"):
+def residual_from_segments(t1, t2, eris: RERIs, ntile=1, variant="ccsd",
+                           ladder=True):
     """R(t) assembled from the segments + the constant and diagonal pieces
     (test/validation path; the Lambda solver only ever needs the jtvp)."""
     nocc = eris.nocc
@@ -585,7 +591,7 @@ def residual_from_segments(t1, t2, eris: RERIs, ntile=1, variant="ccsd"):
     d2 = eia[:, None, :, None] + eia[None, :, None, :]
     r1 = -t1 * eia
     r2 = eris.ovov.conj().transpose(0, 2, 1, 3) - t2 * d2
-    for fn, kind in residual_segments(eris, ntile, variant):
+    for fn, kind in residual_segments(eris, ntile, variant, ladder=ladder):
         c = fn(t1, t2)
         if kind == "r1":
             r1 = r1 + c
