@@ -221,6 +221,56 @@ def _device_alive(timeout=45):
         return False
 
 
+def run_ozaki(cfg):
+    """fp64-grade Ozaki matmul on the int8 MXU (ops/ozaki.py): effective
+    fp64-equivalent throughput + accuracy at a ladder-like shape, plus
+    the raw int8->int32 MXU rate.  The certification offload's bench
+    record (reference counterpart: host fp64 BLAS, ~0.05 TFLOP/s on this
+    one-core host)."""
+    import time as _t
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from pyscf_mpcc_tpu.ops import ozaki
+
+    m = int(cfg.get("m", 3392))
+    k = int(cfg.get("k", 1216))
+    n = int(cfg.get("n", 3392))
+    s_sl = int(cfg.get("s", 6))
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((m, k))
+    B = rng.standard_normal((k, n))
+    # raw int8 MXU rate at the same shape
+    ai = jnp.asarray((A[:, :k] * 10).astype(np.int8))
+    bi = jnp.asarray((B[:k] * 10).astype(np.int8))
+    f = jax.jit(lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32))
+    f(ai, bi).block_until_ready()
+    t0 = _t.time()
+    for _ in range(10):
+        r = f(ai, bi)
+    r.block_until_ready()
+    int8_tops = 2.0 * m * k * n / ((_t.time() - t0) / 10) / 1e12
+    # end-to-end fp64-grade matmul (host split + transfer + dot pyramid
+    # + combine + host finalize), then a warm repeat
+    t0 = _t.time()
+    C = ozaki.matmul64(A, B, s=s_sl)
+    wall_cold = _t.time() - t0
+    t0 = _t.time()
+    C = ozaki.matmul64(A, B, s=s_sl)
+    wall = _t.time() - t0
+    ref = A[:128] @ B[:, :128]
+    err = float(np.abs(C[:128, :128] - ref).max() / np.abs(ref).max())
+    return {"m": m, "k": k, "n": n, "s": s_sl,
+            "int8_tops": round(int8_tops, 1),
+            "fp64_equiv_tflops": round(2.0 * m * k * n / wall / 1e12, 3),
+            "wall_cold_s": round(wall_cold, 2), "wall_s": round(wall, 2),
+            "max_rel_err": err}
+
+
 def _run_child(kind, cfg, timeout):
     """Run one measurement kind in a subprocess; None on any failure."""
     r = _run_child_loud(kind, cfg, timeout)
@@ -256,7 +306,8 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1].startswith("--child"):
         cfg = json.loads(sys.argv[2])
         fn = {"--child": run_config, "--child-parity": run_parity,
-              "--child-t": run_triples}[sys.argv[1]]
+              "--child-t": run_triples,
+              "--child-ozaki": run_ozaki}[sys.argv[1]]
         out = fn(cfg)
         print("RESULT:" + json.dumps(out), flush=True)
         return
@@ -379,6 +430,12 @@ def main():
         detail["triples_fused"] = {"error": "all engine configs failed",
                                    "engines_tried": tried}
         enriched = True
+    # fp64-grade Ozaki certification dots on the int8 MXU (round 5)
+    if left() > 150:
+        oz = _run_child("--child-ozaki", {}, max(120, min(300, left() - 60)))
+        if oz:
+            detail["fp64_ozaki_int8"] = oz
+            enriched = True
     # on-device parity: fp32 CCSD+Lambda on the chip, fp64 Lagrangian
     # certification on host (H2O/cc-pVTZ; SURVEY section 7 risk (c))
     if left() > 240:

@@ -209,7 +209,12 @@ def stage_fp32():
 
 def stage_fp64():
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    # W8_STAGE64_BACKEND=ozaki keeps the TPU visible: the host (CPU
+    # backend, fp64) evaluates the o^3v^3 remainder while the vvvv
+    # ladder scalar runs on the int8 MXU at fp64 grade (ops/ozaki.py).
+    backend = os.environ.get("W8_STAGE64_BACKEND", "host")
+    if backend == "host":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
@@ -227,11 +232,24 @@ def stage_fp64():
     from pyscf_mpcc_tpu.lib import memory as _mem
     nt64 = _mem.plan_ladder_ntile(nocc, nvir, z["B"].shape[0],
                                   dtype="float64", budget=48 * 2**30)
-    e_lagr = float(lambda_ad.lagrangian_energy(
-        jnp.asarray(a["t1"], jnp.float64), jnp.asarray(a["t2"], jnp.float64),
-        jnp.asarray(a["l1"], jnp.float64), jnp.asarray(a["l2"], jnp.float64),
-        er, ntile=nt64))
-    out = dict(stage="fp64", e_lagr=e_lagr,
+    amps = [jnp.asarray(a[k], jnp.float64) for k in ("t1", "t2", "l1", "l2")]
+    if backend == "ozaki":
+        cpu = [d for d in jax.devices() if d.platform == "cpu"]
+        ctx = jax.default_device(cpu[0]) if cpu else None
+        oz_ntile = int(os.environ.get("W8_OZ_NTILE", "8"))
+        oz_s = int(os.environ.get("W8_OZ_S", "6"))
+        if ctx is not None:
+            with ctx:
+                e_lagr = float(lambda_ad.lagrangian_energy(
+                    *amps, er, ntile=nt64, ladder_backend="ozaki",
+                    oz_ntile=oz_ntile, oz_s=oz_s))
+        else:
+            e_lagr = float(lambda_ad.lagrangian_energy(
+                *amps, er, ntile=nt64, ladder_backend="ozaki",
+                oz_ntile=oz_ntile, oz_s=oz_s))
+    else:
+        e_lagr = float(lambda_ad.lagrangian_energy(*amps, er, ntile=nt64))
+    out = dict(stage="fp64", e_lagr=e_lagr, backend=backend,
                wall_s=round(time.time() - t0, 1))
     print("W8PARITY " + json.dumps(out), flush=True)
 
@@ -249,7 +267,8 @@ def main():
     sys.stderr.write(r32.stderr[-2000:])
     if r32.returncode != 0:
         sys.exit(1)
-    env["JAX_PLATFORMS"] = "cpu"
+    if env.get("W8_STAGE64_BACKEND", "host") == "host":
+        env["JAX_PLATFORMS"] = "cpu"
     r64 = subprocess.run([sys.executable, __file__, "--stage64"], env=env,
                          capture_output=True, text=True, timeout=6 * 3600)
     sys.stdout.write(r64.stdout)
