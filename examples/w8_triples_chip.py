@@ -43,7 +43,8 @@ import numpy as np
 from pyscf_mpcc_tpu.cc import ccsd_t
 from pyscf_mpcc_tpu.cc import eris as eris_mod
 
-SCRATCH = os.path.join(_HERE, "..", ".scratch", "w8_parity")
+SCRATCH = os.environ.get(
+    "W8_SCRATCH", os.path.join(_HERE, "..", ".campaign", "w8_parity"))
 FROZEN = 8
 
 
@@ -76,7 +77,8 @@ def main():
         t_start = time.time()
         try:
             et = ccsd_t.kernel(t1, t2, er, tile=tile, engine=engine,
-                               dot_precision=dot_prec)
+                               dot_precision=dot_prec,
+                               chunk=int(os.environ.get("W8T_CHUNK", "1")))
         except Exception as ex:
             print("W8TRIPLES " + json.dumps(dict(
                 engine=engine, precision=precision,

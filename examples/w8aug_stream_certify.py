@@ -106,8 +106,32 @@ def _capacity_record(nocc, nvir, naux, ntile):
     return rec
 
 
+def _probe_io_callback():
+    """The streamed path needs PJRT host callbacks; the round-5 dev
+    tunnel (axon_pjrt) rejects them (docs/DESIGN.md 'Dev-tunnel runtime
+    constraints').  Fail fast with the real answer instead of deep in
+    the campaign."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import io_callback
+    try:
+        f = jax.jit(lambda i: io_callback(
+            lambda _: np.ones(2, np.float32),
+            jax.ShapeDtypeStruct((2,), jnp.float32), i))
+        f(0).block_until_ready()
+        return True
+    except Exception as ex:  # noqa: BLE001
+        print("W8AUG blocked " + json.dumps({
+            "reason": "runtime rejects host callbacks",
+            "error": str(ex).splitlines()[0][:200]}), flush=True)
+        return False
+
+
 def stage_fp32():
     import jax
+    if not _probe_io_callback():
+        sys.exit(3)
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     import numpy as np

@@ -39,7 +39,7 @@ _SCAN_CACHE = {}
 
 def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
            act_hole=None, act_particle=None, mode="exclude_active",
-           mesh=None, engine="auto", dot_precision=None, chunk=8,
+           mesh=None, engine="auto", dot_precision=None, chunk=1,
            vfac=1.0):
     """E(T) from converged (t1, t2) and an RERIs container (DF or full).
 
@@ -67,7 +67,11 @@ def kernel(t1, t2, eris, tile=8, dtype=None, tiles_per_call=2048,
     production runs need 'high' or 'highest' here (or the global flag).
 
     chunk: tiles per pallas_call in the fused engine.  The scan stacks K
-    tiles of XLA prep, then ONE kernel launch with grid (K, T, T)
+    tiles of XLA prep, then ONE kernel launch with grid (K, T, T).
+    Default 1: the round-5 hardware sweep measured K1 FASTER than K4/K8
+    at production shape (9.91 vs 7.36 TFLOP/s dot-high) AND K>1 holds
+    K stacked W streams live, which pushed the full (H2O)8 (T) program
+    447 MiB past HBM (chunk=8 compile OOM, round-5).
     processes them — amortizing the ~6 ms/tile dispatch the round-3
     roofline measured for one-call-per-tile.  chunk=1 recovers the
     per-tile form (still used on the mesh path).  HBM cost: K stacked

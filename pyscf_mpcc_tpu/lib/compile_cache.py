@@ -53,18 +53,29 @@ def _default_scoped_dir(base: str) -> str:
     # ISA extensions (avx512/amx subsets) still SIGILL-cross-load each
     # other's AOT executables (observed on this project's VM after a
     # migration) — fold a hash of the CPU feature flags in
-    feat = ""
+    # ... and the cpuinfo flag set is still not sufficient: round 5 hit
+    # same-flags hosts whose XLA:CPU builds disagreed on tuning features
+    # (+prefer-no-scatter/-gather), and the cross-loaded executables
+    # segfaulted inside cache writes.  Fold the kernel release + jaxlib
+    # version in as a migration fingerprint.
+    import hashlib
+    key = ""
+    try:
+        import jaxlib
+        key += platform.uname().release + ";" \
+            + getattr(jaxlib, "__version__", "0")
+    except Exception:
+        pass
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
                 if line.startswith(("flags", "Features")):
-                    import hashlib
-                    feat = "-" + hashlib.sha1(
-                        " ".join(sorted(line.split(":", 1)[1].split()))
-                        .encode()).hexdigest()[:8]
+                    key += ";" + " ".join(
+                        sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:
         pass
+    feat = "-" + hashlib.sha1(key.encode()).hexdigest()[:8] if key else ""
     return os.path.join(base, "%s-%s%s" % (backend, platform.machine(),
                                            feat))
 

@@ -81,37 +81,41 @@ def split_digits(a, s, axis=-1):
     return digits, e.reshape(-1)
 
 
-def _combine_pairs(parts, scales):
-    """parts: list of int32 arrays (same shape); scales: list of int
-    exponents (powers of two).  Exact two-float sum on device.
-    Returns (hi, lo) fp32."""
-    hi = jnp.zeros(parts[0].shape, jnp.float32)
-    lo = jnp.zeros(parts[0].shape, jnp.float32)
-    for p, sc in zip(parts, scales):
-        # exact int32 -> fp32 pair (top bits / low byte)
-        p_hi = (p >> 8) << 8
-        p_lo = p - p_hi
-        for q in (p_hi.astype(jnp.float32) * np.float32(2.0 ** sc),
-                  p_lo.astype(jnp.float32) * np.float32(2.0 ** sc)):
-            # two-sum (Knuth): exact double-fp32 accumulation
-            t = hi + q
-            bv = t - hi
-            err = (hi - (t - bv)) + (q - bv)
-            hi = t
-            lo = lo + err
-    # renormalize
+def _acc_int32(hi, lo, p, sc):
+    """Two-float accumulate of an int32 partial scaled by 2^sc: the
+    int32 is split 2^8-aligned into an exact fp32 pair first."""
+    p_hi = (p >> 8) << 8
+    p_lo = p - p_hi
+    for q in (p_hi.astype(jnp.float32) * np.float32(2.0 ** sc),
+              p_lo.astype(jnp.float32) * np.float32(2.0 ** sc)):
+        # two-sum (Knuth): exact double-fp32 accumulation
+        t = hi + q
+        bv = t - hi
+        err = (hi - (t - bv)) + (q - bv)
+        hi = t
+        lo = lo + err
+    return hi, lo
+
+
+def _renorm(hi, lo):
     t = hi + lo
     lo = lo - (t - hi)
-    hi = t
-    return hi, lo
+    return t, lo
 
 
 @partial(jax.jit, static_argnames=("s", "keep"))
 def _oz_dot_device(da, db, s, keep):
     """da: (s, m, k) int8, db: (s, k, n) int8 -> (hi, lo) fp32 (m, n),
-    unscaled (caller applies 2^(ea_i + eb_j))."""
-    parts = []
-    scales = []
+    unscaled (caller applies 2^(ea_i + eb_j)).
+
+    Each digit-pair dot is folded into the running two-float SUM before
+    the next one issues (optimization_barrier-threaded): without the
+    ordering XLA keeps every int32 partial live at once — 21 products
+    x (m, n) x 4 B OOMed the (H2O)8 certification at 19.9 GiB."""
+    m = da.shape[1]
+    n = db.shape[2]
+    hi = jnp.zeros((m, n), jnp.float32)
+    lo = jnp.zeros((m, n), jnp.float32)
     for t in range(s):
         for u in range(s):
             if t + u > keep:
@@ -119,9 +123,9 @@ def _oz_dot_device(da, db, s, keep):
             p = jax.lax.dot_general(
                 da[t], db[u], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            parts.append(p)
-            scales.append(-(2 * _B0 + _BD * (t + u)))
-    return _combine_pairs(parts, scales)
+            hi, lo = _acc_int32(hi, lo, p, -(2 * _B0 + _BD * (t + u)))
+            hi, lo = jax.lax.optimization_barrier((hi, lo))
+    return _renorm(hi, lo)
 
 
 def matmul64(a, b, s=8):
@@ -239,17 +243,12 @@ def _ladder_pair_device(l2d, el2, taud, etau, LAd, eLA, LBd, eLB, s, keep):
         for u in range(s):
             if t + u > keep:
                 continue
+            # barrier-threaded like the dot pyramid: the (TAv, TBv)
+            # int32 elementwise products must not all be live at once
             z = jnp.sum(wd[t].astype(jnp.int32) * gd[u].astype(jnp.int32),
                         axis=1)
-            sc = np.float32(2.0 ** (-(2 * _B0 + _BD * (t + u))))
-            z_hi = (z >> 8) << 8
-            for q in (z_hi.astype(jnp.float32) * sc,
-                      (z - z_hi).astype(jnp.float32) * sc):
-                tt = rh + q
-                bv = tt - rh
-                err = (rh - (tt - bv)) + (q - bv)
-                rh = tt
-                rl = rl + err
+            rh, rl = _acc_int32(rh, rl, z, -(2 * _B0 + _BD * (t + u)))
+            rh, rl = jax.lax.optimization_barrier((rh, rl))
     ew = (eW + eG).reshape(-1)
     return rh, rl, ew
 
