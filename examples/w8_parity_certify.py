@@ -224,9 +224,13 @@ def stage_fp64():
     t0 = time.time()
     z = np.load(os.path.join(SCRATCH, "scf.npz"))
     nocc = int(z["nelectron"]) // 2 - FROZEN
-    er = eris_mod.make_eris_df(z["B"], z["mo_full"][:, FROZEN:],
-                               z["fock_ao"], nocc, keep_ovvv=False)
-    print(f"[{time.time()-t0:7.1f}s] fp64 eris on host", flush=True)
+    er = eris_mod.make_eris_df(
+        z["B"], z["mo_full"][:, FROZEN:], z["fock_ao"], nocc,
+        keep_ovvv=False,
+        transform_backend="ozaki" if backend == "ozaki" else None)
+    print(f"[{time.time()-t0:7.1f}s] fp64 eris on host "
+          f"(transforms: {'int8 MXU' if backend == 'ozaki' else 'host'})",
+          flush=True)
     a = np.load(os.path.join(SCRATCH, "amps.npz"))
     nvir = a["t1"].shape[1]
     from pyscf_mpcc_tpu.lib import memory as _mem

@@ -79,8 +79,25 @@ def make_eris_incore(eri_ao, mo_coeff, fock_ao, nocc, dtype=None):
     )
 
 
+def _transform_b_ozaki(B, mo, s=6):
+    """MO-basis DF factor (naux, nmo, nmo) with the two AO->MO dgemms
+    on the int8 MXU at fp64 grade (ops/ozaki.matmul64).  The chained
+    stage consumes stage 1's finalized host fp64, so no device resplit
+    is involved."""
+    from pyscf_mpcc_tpu.ops import ozaki
+    naux, nao = B.shape[0], B.shape[1]
+    nmo = mo.shape[1]
+    t1m = ozaki.matmul64(
+        np.ascontiguousarray(B.transpose(0, 2, 1)).reshape(naux * nao, nao),
+        mo, s=s)
+    t1m = np.ascontiguousarray(
+        t1m.reshape(naux, nao, nmo).transpose(0, 2, 1)).reshape(
+            naux * nmo, nao)
+    return ozaki.matmul64(t1m, mo, s=s).reshape(naux, nmo, nmo)
+
+
 def make_eris_df(b_ao, mo_coeff, fock_ao, nocc, dtype=None, keep_ovvv=True,
-                 stream_vv=False):
+                 stream_vv=False, transform_backend=None):
     """DF container: all blocks from B factors; vvvv left implicit.
 
     Reference analog: dfccsd._make_df_eris (pyscf/cc/dfccsd.py:125) which
@@ -98,13 +115,27 @@ def make_eris_df(b_ao, mo_coeff, fock_ao, nocc, dtype=None, keep_ovvv=True,
     mo = np.asarray(mo_coeff)
     co, cv = mo[:, :nocc], mo[:, nocc:]
     B = np.asarray(b_ao)
-    Lo = np.einsum("Lpq,pi->Liq", B, co, optimize=True)
-    Loo = jnp.asarray(np.einsum("Liq,qj->Lij", Lo, co, optimize=True), dtype=dtype)
-    Lov = jnp.asarray(np.einsum("Liq,qa->Lia", Lo, cv, optimize=True), dtype=dtype)
-    Lv = np.einsum("Lpq,pa->Laq", B, cv, optimize=True)
-    Lvv_np = np.einsum("Laq,qb->Lab", Lv, cv, optimize=True)
-    if dtype is not None:
-        Lvv_np = Lvv_np.astype(dtype)
+    if transform_backend == "ozaki":
+        # the two nao^2-scale AO->MO dgemms are ~4.4e14 fp64 flops at
+        # (H2O)8/cc-pVTZ — the actual wall of the fp64 certification
+        # stage on a one-core host (round-4's 7075 s was mostly THIS,
+        # not the Lagrangian).  Run them fp64-grade on the int8 MXU.
+        bmo = _transform_b_ozaki(B, mo)
+        Loo = jnp.asarray(bmo[:, :nocc, :nocc], dtype=dtype)
+        Lov = jnp.asarray(bmo[:, :nocc, nocc:], dtype=dtype)
+        Lvv_np = np.ascontiguousarray(bmo[:, nocc:, nocc:])
+        if dtype is not None:
+            Lvv_np = Lvv_np.astype(dtype)
+    else:
+        Lo = np.einsum("Lpq,pi->Liq", B, co, optimize=True)
+        Loo = jnp.asarray(np.einsum("Liq,qj->Lij", Lo, co, optimize=True),
+                          dtype=dtype)
+        Lov = jnp.asarray(np.einsum("Liq,qa->Lia", Lo, cv, optimize=True),
+                          dtype=dtype)
+        Lv = np.einsum("Lpq,pa->Laq", B, cv, optimize=True)
+        Lvv_np = np.einsum("Laq,qb->Lab", Lv, cv, optimize=True)
+        if dtype is not None:
+            Lvv_np = Lvv_np.astype(dtype)
     fock = jnp.asarray(mo.T @ fock_ao @ mo, dtype=dtype)
     if stream_vv:
         from pyscf_mpcc_tpu.lib import hoststore
