@@ -430,9 +430,10 @@ def main():
         detail["triples_fused"] = {"error": "all engine configs failed",
                                    "engines_tried": tried}
         enriched = True
-    # fp64-grade Ozaki certification dots on the int8 MXU (round 5)
-    if left() > 150:
-        oz = _run_child("--child-ozaki", {}, max(120, min(300, left() - 60)))
+    # fp64-grade Ozaki certification dots on the int8 MXU (round 5).
+    # Guarded so it can never starve the parity children that follow.
+    if left() > 500:
+        oz = _run_child("--child-ozaki", {}, max(120, min(240, left() - 300)))
         if oz:
             detail["fp64_ozaki_int8"] = oz
             enriched = True

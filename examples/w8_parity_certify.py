@@ -222,37 +222,42 @@ def stage_fp64():
     from pyscf_mpcc_tpu.cc import lambda_ad
 
     t0 = time.time()
-    z = np.load(os.path.join(SCRATCH, "scf.npz"))
-    nocc = int(z["nelectron"]) // 2 - FROZEN
-    er = eris_mod.make_eris_df(
-        z["B"], z["mo_full"][:, FROZEN:], z["fock_ao"], nocc,
-        keep_ovvv=False,
-        transform_backend="ozaki" if backend == "ozaki" else None)
-    print(f"[{time.time()-t0:7.1f}s] fp64 eris on host "
-          f"(transforms: {'int8 MXU' if backend == 'ozaki' else 'host'})",
-          flush=True)
-    a = np.load(os.path.join(SCRATCH, "amps.npz"))
-    nvir = a["t1"].shape[1]
-    from pyscf_mpcc_tpu.lib import memory as _mem
-    nt64 = _mem.plan_ladder_ntile(nocc, nvir, z["B"].shape[0],
-                                  dtype="float64", budget=48 * 2**30)
-    amps = [jnp.asarray(a[k], jnp.float64) for k in ("t1", "t2", "l1", "l2")]
+
+    def run():
+        # EVERY host-side jit (the eris block builds + the residual
+        # remainder) must stay on the CPU backend; only ops/ozaki ships
+        # work to the TPU (it device_puts its digit arrays explicitly).
+        # The first round-5 attempt built the o^2v^2 blocks on the
+        # default (TPU) device and OOMed at 19.9 GiB in fp64.
+        z = np.load(os.path.join(SCRATCH, "scf.npz"))
+        nocc = int(z["nelectron"]) // 2 - FROZEN
+        er = eris_mod.make_eris_df(
+            z["B"], z["mo_full"][:, FROZEN:], z["fock_ao"], nocc,
+            keep_ovvv=False,
+            transform_backend="ozaki" if backend == "ozaki" else None)
+        print(f"[{time.time()-t0:7.1f}s] fp64 eris "
+              f"(transforms: {'int8 MXU' if backend == 'ozaki' else 'host'})",
+              flush=True)
+        a = np.load(os.path.join(SCRATCH, "amps.npz"))
+        nvir = a["t1"].shape[1]
+        from pyscf_mpcc_tpu.lib import memory as _mem
+        nt64 = _mem.plan_ladder_ntile(nocc, nvir, z["B"].shape[0],
+                                      dtype="float64", budget=48 * 2**30)
+        amps = [jnp.asarray(a[k], jnp.float64)
+                for k in ("t1", "t2", "l1", "l2")]
+        kw = dict(ntile=nt64)
+        if backend == "ozaki":
+            kw.update(ladder_backend="ozaki",
+                      oz_ntile=int(os.environ.get("W8_OZ_NTILE", "8")),
+                      oz_s=int(os.environ.get("W8_OZ_S", "6")))
+        return float(lambda_ad.lagrangian_energy(*amps, er, **kw))
+
     if backend == "ozaki":
-        cpu = [d for d in jax.devices() if d.platform == "cpu"]
-        ctx = jax.default_device(cpu[0]) if cpu else None
-        oz_ntile = int(os.environ.get("W8_OZ_NTILE", "8"))
-        oz_s = int(os.environ.get("W8_OZ_S", "6"))
-        if ctx is not None:
-            with ctx:
-                e_lagr = float(lambda_ad.lagrangian_energy(
-                    *amps, er, ntile=nt64, ladder_backend="ozaki",
-                    oz_ntile=oz_ntile, oz_s=oz_s))
-        else:
-            e_lagr = float(lambda_ad.lagrangian_energy(
-                *amps, er, ntile=nt64, ladder_backend="ozaki",
-                oz_ntile=oz_ntile, oz_s=oz_s))
+        cpu = jax.devices("cpu")
+        with jax.default_device(cpu[0]):
+            e_lagr = run()
     else:
-        e_lagr = float(lambda_ad.lagrangian_energy(*amps, er, ntile=nt64))
+        e_lagr = run()
     out = dict(stage="fp64", e_lagr=e_lagr, backend=backend,
                wall_s=round(time.time() - t0, 1))
     print("W8PARITY " + json.dumps(out), flush=True)

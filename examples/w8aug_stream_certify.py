@@ -206,9 +206,8 @@ def stage_fp64():
     t0 = time.time()
     z = np.load(os.path.join(SCRATCH, "scf.npz"))
     nocc = int(z["nelectron"]) // 2 - FROZEN
-    cpu = [d for d in jax.devices() if d.platform == "cpu"]
-    ctx = jax.default_device(cpu[0]) if (backend == "ozaki" and cpu) \
-        else None
+    cpu = jax.devices("cpu")
+    ctx = jax.default_device(cpu[0]) if backend == "ozaki" else None
 
     def run():
         er = eris_mod.make_eris_df(z["B"], z["mo_full"][:, FROZEN:],

@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The persistent compilation cache is DISABLED under pytest: on this
+# round's runtime, serializing certain CPU executables segfaults inside
+# jax's put_executable_and_time (reproduced twice at the same suite
+# position, round 5) — a crash in the cache WRITE path, not in any
+# test.  Production drivers keep the cache; tests trade warm-up time
+# for determinism.
+os.environ["PYSCF_MPCC_TPU_COMPILATION_CACHE_DIR"] = ""
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
