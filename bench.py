@@ -268,7 +268,10 @@ def run_ozaki(cfg):
             "int8_tops": round(int8_tops, 1),
             "fp64_equiv_tflops": round(2.0 * m * k * n / wall / 1e12, 3),
             "wall_cold_s": round(wall_cold, 2), "wall_s": round(wall, 2),
-            "max_rel_err": err}
+            "max_rel_err": err,
+            "note": "end-to-end wall is dev-tunnel d2h-bound at this "
+                    "size (0.01 GiB/s measured); int8_tops is the MXU "
+                    "rate, max_rel_err the fp64-grade accuracy"}
 
 
 def _run_child(kind, cfg, timeout):
