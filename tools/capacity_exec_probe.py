@@ -55,7 +55,9 @@ from pyscf_mpcc_tpu.parallel import make_mesh, ccsd_shard, mesh as gspmd  # noqa
 # keeps tile divisibility; naux ~ 3.3x nao.  The o^2v^2 block is
 # 1.56 GiB fp32; four of them + DIIS would still fit one chip, but the
 # GSPMD *temps* at this shape do not (part 1's measurement).
-NOCC, NVIR, NAUX = 40, 512, 1344
+NOCC = int(os.environ.get("CAP_NOCC", "40"))
+NVIR = int(os.environ.get("CAP_NVIR", "512"))
+NAUX = int(os.environ.get("CAP_NAUX", "1344"))
 NMO = NOCC + NVIR
 GIB = 2.0 ** 30
 
