@@ -400,9 +400,18 @@ def main():
                       "6.22 K8 dot-high — slower than fused (in-kernel "
                       "lane slices); not re-probed"}}
     best = None
+    t_timed_out = False
     for label, ekw in t_sweep:
         if left() < 180:
             tried[label] = {"error": "skipped (budget)"}
+            continue
+        if t_timed_out:
+            # Every sweep entry shares the fused engine's (remote) warm
+            # compile; if one config could not compile inside its cap,
+            # neither will the next — spend the remaining budget on the
+            # parity children instead of a second guaranteed timeout.
+            tried[label] = {"error": "skipped (prior config timed out "
+                           "in compile; same engine/compile path)"}
             continue
         # Cap 840 s, not 580: the fused warm compile through the tunnel
         # measured 445 s on a contended host (round-5 continuation) —
@@ -413,6 +422,8 @@ def main():
             "tile": 8, "nprobe": 512, "dot_precision": "high", **ekw},
             max(180, min(840, left() - 60)))
         tried[label] = t
+        if t and "timeout" in str(t.get("error", "")):
+            t_timed_out = True
         # headline stays the certified dot-high tier; the default-
         # precision probe is evidence (round-3 comparability), not a
         # headline candidate
